@@ -1,0 +1,121 @@
+"""numpy-only linear-algebra helpers.
+
+The reference uses scipy (``scipy.linalg.qr(..., pivoting=True)``,
+``scipy.stats.linregress``); scipy is not available in this runtime, so
+these are exact functional replacements built on numpy. Semantics are
+checked against the reference's published oracle values in
+tests/test_kernels_timeseries.py and tests/test_kernels_stack.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pivoted_qr(a: np.ndarray):
+    """Householder QR with greedy column pivoting.
+
+    Functional replacement for ``scipy.linalg.qr(a, mode='economic',
+    pivoting=True)`` as used by the reference's rank-deficiency repair
+    (/root/reference/pyrate/core/timeseries.py:160-170): at step k the
+    remaining column with the largest trailing norm is pivoted in (the
+    same greedy rule LAPACK geqp3 follows).
+
+    Returns (Q, R, piv) with A[:, piv] = Q @ R.
+    """
+    R = np.asarray(a, dtype=np.float64).copy()
+    m, n = R.shape
+    piv = np.arange(n)
+    Q = np.eye(m)
+    for k in range(min(m, n)):
+        norms = np.sqrt((R[k:, k:] ** 2).sum(axis=0))
+        j = int(np.argmax(norms)) + k
+        if j != k:
+            R[:, [k, j]] = R[:, [j, k]]
+            piv[[k, j]] = piv[[j, k]]
+        x = R[k:, k]
+        nx = np.linalg.norm(x)
+        if nx <= 1e-300:
+            continue
+        v = x.copy()
+        v[0] += (1.0 if x[0] >= 0 else -1.0) * nx
+        vn = np.linalg.norm(v)
+        if vn <= 1e-300:
+            continue
+        v = v / vn
+        R[k:, k:] -= 2.0 * np.outer(v, v @ R[k:, k:])
+        Q[:, k:] -= 2.0 * np.outer(Q[:, k:] @ v, v)
+    k = min(m, n)
+    return Q[:, :k], R[:k, :], piv
+
+
+def linregress(t: np.ndarray, y: np.ndarray):
+    """Closed-form simple linear regression matching
+    ``scipy.stats.linregress`` (slope, intercept, rvalue, stderr).
+
+    Used by the reference's linear-rate estimator
+    (/root/reference/pyrate/core/timeseries.py:292-329).
+    """
+    t = np.asarray(t, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = t.size
+    tm = t.mean()
+    ym = y.mean()
+    ssxm = ((t - tm) ** 2).mean()
+    ssym = ((y - ym) ** 2).mean()
+    ssxym = ((t - tm) * (y - ym)).mean()
+    slope = ssxym / ssxm
+    intercept = ym - slope * tm
+    if ssxm == 0.0 or ssym == 0.0:
+        r = 0.0
+    else:
+        r = ssxym / np.sqrt(ssxm * ssym)
+        r = min(1.0, max(-1.0, r))
+    df = n - 2
+    if df > 0:
+        stderr = np.sqrt((1.0 - r * r) * ssym / ssxm / df)
+    else:
+        stderr = 0.0
+    return slope, intercept, r, stderr
+
+
+def linregress_batch(T: np.ndarray, Y: np.ndarray):
+    """Vectorised NaN-aware linregress over many series at once.
+
+    T, Y: (nseries, npoints); NaNs in Y (and matching T cells) are
+    excluded per-series, mirroring the reference's per-pixel mask
+    (/root/reference/pyrate/core/timeseries.py:312-318). Series with
+    fewer than 2 valid points return NaNs (timeseries.py:322-324).
+
+    Returns (slope, intercept, rsquared, stderr, nsamp) each (nseries,).
+    """
+    Y = np.asarray(Y, dtype=np.float64)
+    T = np.asarray(T, dtype=np.float64)
+    mask = ~np.isnan(Y)
+    n = mask.sum(axis=1).astype(np.float64)
+    Tm = np.where(mask, T, 0.0)
+    Ym = np.where(mask, Y, 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tmean = Tm.sum(1) / n
+        ymean = Ym.sum(1) / n
+        dt = np.where(mask, T - tmean[:, None], 0.0)
+        dy = np.where(mask, Y - ymean[:, None], 0.0)
+        ssxm = (dt * dt).sum(1) / n
+        ssym = (dy * dy).sum(1) / n
+        ssxym = (dt * dy).sum(1) / n
+        slope = ssxym / ssxm
+        intercept = ymean - slope * tmean
+        denom = np.sqrt(ssxm * ssym)
+        r = np.where(denom > 0, ssxym / np.where(denom > 0, denom, 1.0), 0.0)
+        r = np.clip(r, -1.0, 1.0)
+        df = n - 2
+        stderr = np.where(
+            df > 0, np.sqrt((1.0 - r * r) * ssym / ssxm / np.maximum(df, 1)), 0.0
+        )
+    bad = n < 2
+    out = [slope, intercept, r * r, stderr]
+    for arr in out:
+        arr[bad] = np.nan
+    nsamp = n.copy()
+    nsamp[bad] = np.nan
+    return out[0], out[1], out[2], out[3], nsamp
