@@ -1,0 +1,122 @@
+"""Pairwise epoch differencing — forming the observation network (J5).
+
+The reference *receives* its observations pre-formed (each interferogram
+is phase(second) - phase(first) per pixel); this engine must form them
+from per-url snapshots. Two flavours:
+
+- :func:`sequential_pairs` — consecutive snapshots via ``lag`` over a
+  per-url ordered window: one shuffle on url, no join.
+- :func:`network_pairs` — a bounded range self-join
+  (``b.ts > a.ts AND b.ts <= a.ts + max_span``, ranked to the k nearest
+  forward neighbours): the redundant-network analog of the reference's
+  ifg list, enabling MST selection / closure loops per key. Both sides
+  shuffle on url once; sort-merge join stays key-local.
+
+J1 epoch-id assignment: dense_rank over distinct warc_ts per url
+(algorithm.py:225-237: sorted distinct dates -> dense ids).
+nan_fraction per pair: the per-url fraction of NULL raw values — the
+reference's per-ifg nan_fraction (shared.py:477-492) reused as the MST
+edge weight (mst.py:63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pyrate_spark.datagen import YEAR_SECONDS
+
+
+def epoch_ids(series: DataFrame) -> DataFrame:
+    """J1: per-url dense epoch ids, oldest = 0, plus year-fraction spans
+    from the per-url first epoch (EpochList analog)."""
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    wall = Window.partitionBy("url")
+    return (series
+            .withColumn("epoch_id", F.dense_rank().over(w) - 1)
+            .withColumn(
+                "span_years",
+                (F.unix_timestamp("warc_ts")
+                 - F.unix_timestamp(F.min("warc_ts").over(wall))).cast("double")
+                / F.lit(YEAR_SECONDS)))
+
+
+def sequential_pairs(series: DataFrame, value_col: str = "value") -> DataFrame:
+    """Consecutive-snapshot deltas per url (the chain network)."""
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    return (series
+            .select("url", "warc_ts", value_col)
+            .withColumn("ts_first", F.lag("warc_ts").over(w))
+            .withColumn("v_first", F.lag(value_col).over(w))
+            .where(F.col("ts_first").isNotNull())
+            .select(
+                "url",
+                "ts_first",
+                F.col("warc_ts").alias("ts_second"),
+                (F.col(value_col) - F.col("v_first")).alias("delta_value"),
+                ((F.unix_timestamp("warc_ts")
+                  - F.unix_timestamp("ts_first")).cast("double")
+                 / F.lit(YEAR_SECONDS)).alias("time_span")))
+
+
+def network_pairs(series: DataFrame, max_span_days: int = 90,
+                  max_pairs_per_epoch: int = 3,
+                  value_col: str = "value") -> DataFrame:
+    """Redundant pair network: each snapshot pairs with up to k forward
+    neighbours within the max temporal baseline — the graft's ifg list.
+
+    Returns (url, ts_first, ts_second, delta_value, time_span,
+    nan_fraction) where nan_fraction is the per-url NULL fraction of the
+    raw series (MST edge weight, mst.py:63-70; per-ifg nan_fraction
+    shared.py:477-492 collapses to a per-url quantity here because every
+    observation of a key shares the key's null history).
+    """
+    nf = Window.partitionBy("url")
+    base = (series
+            .select("url", "warc_ts", value_col)
+            .withColumn("nan_fraction",
+                        F.avg(F.when(F.col(value_col).isNull(), 1.0)
+                               .otherwise(0.0)).over(nf)))
+    a = base.select(
+        "url",
+        F.col("warc_ts").alias("ts_first"),
+        F.col(value_col).alias("v_first"),
+        "nan_fraction")
+    b = base.select(
+        "url",
+        F.col("warc_ts").alias("ts_second"),
+        F.col(value_col).alias("v_second"))
+    joined = a.join(
+        b,
+        on=[a.url == b.url,
+            F.col("ts_second") > F.col("ts_first"),
+            F.col("ts_second") <= F.col("ts_first")
+            + F.expr(f"INTERVAL {max_span_days} DAYS")],
+        how="inner").drop(b.url)
+    rk = Window.partitionBy("url", "ts_first").orderBy("ts_second")
+    return (joined
+            .withColumn("_rk", F.row_number().over(rk))
+            .where(F.col("_rk") <= max_pairs_per_epoch)
+            .select(
+                "url", "ts_first", "ts_second",
+                (F.col("v_second") - F.col("v_first")).alias("delta_value"),
+                ((F.unix_timestamp("ts_second")
+                  - F.unix_timestamp("ts_first")).cast("double")
+                 / F.lit(YEAR_SECONDS)).alias("time_span"),
+                "nan_fraction"))
+
+
+def pair_lookup(pairs: DataFrame, wanted: DataFrame) -> DataFrame:
+    """J2: find observations by (first, second) composite key — a
+    broadcast equi-join (the dimension side is tiny, algorithm.py:126-188)."""
+    return pairs.join(F.broadcast(wanted), ["ts_first", "ts_second"], "inner")
+
+
+def file_pairing(obs: DataFrame, aux: DataFrame, key_cols) -> DataFrame:
+    """J4 analog: match observations to an auxiliary table on an epoch
+    key and assert uniqueness (prepifg_helper.py:405-433 errors when one
+    key matches more than one file)."""
+    counts = aux.groupBy(*key_cols).count()
+    dupes = counts.where(F.col("count") > 1).limit(1).collect()
+    if dupes:
+        raise ValueError(f"duplicate auxiliary match for key {dupes[0]}")
+    return obs.join(F.broadcast(aux), list(key_cols), "left")

@@ -1,0 +1,158 @@
+"""Tier rollups, cascading continuous aggregates, retention, gap-fill.
+
+D1 (the heart of the engine): the reference's multilook block-average
+with NaN-threshold (legacy `_resample` /root/reference/pyrate/core/
+prepifg_helper.py:206-237 and the fused two-band gdal variant
+gdal_python.py:296-324) becomes ONE hash aggregation per tier:
+``groupBy(url, window(warc_ts, tier))`` computing the mean, the
+null-fraction and the count in a single shuffle — Catalyst fuses the
+three aggregates exactly like the reference's 2-band trick. The output
+cell is NULL iff ``null_fraction >= thresh`` with the reference's
+``nan_fraction == 0 and thresh == 0`` escape (prepifg_helper.py:235).
+
+D2 retention-crop = partition-prunable timestamp predicates
+(prepifg_helper.py:51-152 extent modes -> min/max over per-url extents).
+D3 nearest-neighbour downsample = last-sample-in-bucket
+(gdal_python.py:89-106).
+
+Tiers cascade (raw->hour->day->week) the way the reference cascades
+multilooks: each tier aggregates the previous one, so the daily pass
+reads 24x fewer rows than raw — at 100 TB this is the difference
+between one full scan per tier and one full scan total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TIER_SECONDS = {"1 hour": 3600, "1 day": 86400, "1 week": 604800}
+
+
+def tier_rollup(series: DataFrame, tier: str = "1 hour",
+                thresh: float = 0.5, value_col: str = "value") -> DataFrame:
+    """Raw series -> one tier: (url, bucket_start, value_avg,
+    null_fraction, n_obs). Single shuffle on (url, bucket)."""
+    if not 0.0 <= thresh <= 1.0:
+        raise ValueError("threshold must be >= 0 and <= 1")  # prepifg_helper.py:219-220
+    win = F.window("warc_ts", tier)
+    agg = (series
+           .groupBy("url", win.alias("w"))
+           .agg(F.avg(value_col).alias("_avg"),
+                F.avg(F.when(F.col(value_col).isNull(), 1.0)
+                       .otherwise(0.0)).alias("null_fraction"),
+                F.count(F.lit(1)).alias("n_obs")))
+    keep = (F.col("null_fraction") < F.lit(thresh)) | \
+           ((F.col("null_fraction") == 0.0) & (F.lit(thresh) == 0.0))
+    return agg.select(
+        "url",
+        F.col("w.start").alias("bucket_start"),
+        F.when(keep, F.col("_avg")).otherwise(F.lit(None)).alias("value_avg"),
+        "null_fraction",
+        "n_obs",
+    )
+
+
+def cascade_rollup(prev_tier: DataFrame, tier: str,
+                   thresh: float = 0.5) -> DataFrame:
+    """tier N-1 -> tier N without touching raw data. Means are weighted
+    by n_obs so the cascade is exact (equals a direct rollup of raw);
+    null_fraction likewise re-weights the child fractions."""
+    win = F.window("bucket_start", tier)
+    n_valid = F.col("n_obs") * (1.0 - F.col("null_fraction"))
+    agg = (prev_tier
+           .groupBy("url", win.alias("w"))
+           .agg((F.sum(F.col("value_avg") * n_valid)
+                 / F.sum(F.when(F.col("value_avg").isNotNull(), n_valid)
+                          .otherwise(0.0))).alias("_avg"),
+                (F.sum(F.col("null_fraction") * F.col("n_obs"))
+                 / F.sum("n_obs")).alias("null_fraction"),
+                F.sum("n_obs").alias("n_obs")))
+    keep = (F.col("null_fraction") < F.lit(thresh)) | \
+           ((F.col("null_fraction") == 0.0) & (F.lit(thresh) == 0.0))
+    return agg.select(
+        "url",
+        F.col("w.start").alias("bucket_start"),
+        F.when(keep, F.col("_avg")).otherwise(F.lit(None)).alias("value_avg"),
+        "null_fraction",
+        "n_obs",
+    )
+
+
+def nn_downsample(series: DataFrame, tier: str = "1 hour",
+                  value_col: str = "value") -> DataFrame:
+    """D3: nearest-neighbour = last sample in the bucket
+    (max_by on the event time; one shuffle, no window function)."""
+    win = F.window("warc_ts", tier)
+    return (series
+            .groupBy("url", win.alias("w"))
+            .agg(F.max_by(value_col, "warc_ts").alias("value_last"),
+                 F.max("warc_ts").alias("last_ts"),
+                 F.count(F.lit(1)).alias("n_obs"))
+            .select("url", F.col("w.start").alias("bucket_start"),
+                    "value_last", "last_ts", "n_obs"))
+
+
+def retention_crop(df: DataFrame, mode: int = 3, ts_col: str = "warc_ts",
+                   lo=None, hi=None) -> DataFrame:
+    """D2 extent crop. mode 1 = intersection of per-url extents
+    (max of min-ts, min of max-ts over urls); mode 2 = union; mode 3 =
+    custom [lo, hi) bounds — a plain partition-prunable predicate
+    (prepifg_helper.py:51-152 crop modes)."""
+    if mode == 3:
+        out = df
+        if lo is not None:
+            out = out.where(F.col(ts_col) >= F.lit(lo))
+        if hi is not None:
+            out = out.where(F.col(ts_col) < F.lit(hi))
+        return out
+    ext = df.groupBy("url").agg(F.min(ts_col).alias("mn"),
+                                F.max(ts_col).alias("mx"))
+    if mode == 1:      # intersection: tightest common window
+        b = ext.agg(F.max("mn").alias("lo"), F.min("mx").alias("hi"))
+    elif mode == 2:    # union: loosest window (no-op filter, kept for parity)
+        b = ext.agg(F.min("mn").alias("lo"), F.max("mx").alias("hi"))
+    else:
+        raise ValueError(f"unknown crop mode {mode}")
+    bounds = b.first()
+    return df.where((F.col(ts_col) >= F.lit(bounds["lo"]))
+                    & (F.col(ts_col) <= F.lit(bounds["hi"])))
+
+
+def gapfill_tier(tier_df: DataFrame, tier: str = "1 hour",
+                 method: str = "locf") -> DataFrame:
+    """T17 gap-fill on a tier: materialise the full per-url bucket grid
+    with ``sequence()`` + explode (no Python), left-join the observed
+    buckets, then fill. ``locf`` = last observation carried forward via
+    ``last(..., ignorenulls)`` over an ordered window; ``zero`` = 0.0.
+
+    The grid join is co-partitioned on url (both sides shuffle on the
+    same key once); the window reuses that partitioning — no extra
+    exchange at scale.
+    """
+    step = TIER_SECONDS[tier]
+    grid = (tier_df.groupBy("url")
+            .agg(F.min("bucket_start").alias("mn"),
+                 F.max("bucket_start").alias("mx"))
+            .select("url", F.explode(
+                F.sequence("mn", "mx",
+                           F.expr(f"INTERVAL {step} SECONDS"))
+            ).alias("bucket_start")))
+    joined = grid.join(tier_df, ["url", "bucket_start"], "left")
+    if method == "zero":
+        return joined.withColumn(
+            "value_filled", F.coalesce("value_avg", F.lit(0.0)))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("url").orderBy("bucket_start")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.withColumn(
+        "value_filled",
+        F.last("value_avg", ignorenulls=True).over(w))
+
+
+def cumulative(tier_df: DataFrame, value_col: str = "value_avg") -> DataFrame:
+    """A6: running total per url ordered by bucket — the tscuml analog
+    (timeseries.py:152-153) as the canonical cumsum window."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("url").orderBy("bucket_start")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return tier_df.withColumn("value_cuml", F.sum(value_col).over(w))

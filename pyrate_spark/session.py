@@ -1,0 +1,41 @@
+"""SparkSession factory with the engine's standard configuration.
+
+All knobs here are cluster-scale defaults: AQE on (runtime skew-join
+splitting + partition coalescing), Arrow on (every grouped-map kernel is
+Arrow-batched), explicit shuffle-partition count sized to the target
+parallelism. On a real cluster the same code ships via
+``spark-submit --py-files pyrate_spark.zip job.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "pyrate-spark",
+                parallelism: int | None = None,
+                shuffle_partitions: int | None = None,
+                extra: dict | None = None) -> SparkSession:
+    cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.master(master).appName(app_name)
+        # AQE: runtime re-planning, skew-join mitigation, coalescing
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batch transfer for all pandas UDFs
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or (cpus or 32)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("PYRATE_SPARK_DRIVER_MEM", "12g"))
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

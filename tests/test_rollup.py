@@ -1,0 +1,119 @@
+"""Tier rollup (D1), cascade, NN-downsample (D3), retention (D2),
+gap-fill (T17) and cumulative (A6) — semantics vs local pandas and the
+reference's NaN-threshold rule (prepifg_helper.py:231-236)."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyrate_spark.operators.rollup import (tier_rollup, cascade_rollup,
+                                           nn_downsample, retention_crop,
+                                           gapfill_tier, cumulative)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    """Hand-built series: 2 urls, known buckets, NULLs placed to hit the
+    threshold edge cases."""
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # url a, hour bucket 0: values 1,2,3,NULL -> null_fraction 0.25
+    for i, v in enumerate([1.0, 2.0, 3.0, None]):
+        rows.append(("a", base + dt.timedelta(minutes=10 * i), v))
+    # url a, hour bucket 1: NULL,NULL,4 -> null_fraction 2/3 >= 0.5 -> NULL
+    for i, v in enumerate([None, None, 4.0]):
+        rows.append(("a", base + dt.timedelta(hours=1, minutes=15 * i), v))
+    # url b, day 2 bucket: all valid
+    for i, v in enumerate([10.0, 20.0]):
+        rows.append(("b", base + dt.timedelta(days=1, minutes=30 * i), v))
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp, value double")
+
+
+def test_tier_rollup_nan_threshold(series):
+    out = tier_rollup(series, "1 hour", thresh=0.5).orderBy(
+        "url", "bucket_start").toPandas()
+    a0 = out.iloc[0]
+    assert a0["value_avg"] == pytest.approx(2.0)       # avg skips NULL
+    assert a0["null_fraction"] == pytest.approx(0.25)
+    assert a0["n_obs"] == 4
+    a1 = out.iloc[1]
+    assert pd.isna(a1["value_avg"])                     # 2/3 >= 0.5
+    assert a1["n_obs"] == 3
+    b = out.iloc[2]
+    assert b["value_avg"] == pytest.approx(15.0)
+
+
+def test_thresh_zero_edge_case(series):
+    """prepifg_helper.py:235: nan_fraction==0 and thresh==0 stays valid;
+    any nan_fraction>0 at thresh=0 is NULL."""
+    out = tier_rollup(series, "1 hour", thresh=0.0).orderBy(
+        "url", "bucket_start").toPandas()
+    assert pd.isna(out.iloc[0]["value_avg"])    # 0.25 >= 0
+    assert out.iloc[2]["value_avg"] == pytest.approx(15.0)  # clean bucket
+
+
+def test_thresh_validation(series):
+    with pytest.raises(ValueError):
+        tier_rollup(series, "1 hour", thresh=1.5)
+
+
+def test_cascade_equals_direct(spark):
+    """hour->day cascade must equal a direct day rollup of raw."""
+    from pyrate_spark.datagen import generate_pages
+    from pyrate_spark.operators.extract import extract_series
+    pages = generate_pages(spark, n_urls=8, epochs_per_url=60,
+                           null_pct=15, seed=7)
+    s = extract_series(pages)
+    hourly = tier_rollup(s, "1 hour", thresh=0.99)
+    daily_cascade = cascade_rollup(hourly, "1 day", thresh=0.5)
+    daily_direct = tier_rollup(s, "1 day", thresh=0.5)
+    a = daily_cascade.orderBy("url", "bucket_start").toPandas()
+    b = daily_direct.orderBy("url", "bucket_start").toPandas()
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a["value_avg"].to_numpy(dtype=float),
+                               b["value_avg"].to_numpy(dtype=float),
+                               rtol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(a["null_fraction"].to_numpy(dtype=float),
+                               b["null_fraction"].to_numpy(dtype=float),
+                               rtol=1e-9)
+    assert (a["n_obs"] == b["n_obs"]).all()
+
+
+def test_nn_downsample(series):
+    out = nn_downsample(series, "1 hour").orderBy(
+        "url", "bucket_start").toPandas()
+    # last sample of url a bucket 0 is NULL
+    assert pd.isna(out.iloc[0]["value_last"])
+    assert out.iloc[1]["value_last"] == pytest.approx(4.0)
+    assert out.iloc[2]["value_last"] == pytest.approx(20.0)
+
+
+def test_retention_crop_modes(series):
+    lo = dt.datetime(2024, 1, 1, 1)
+    assert retention_crop(series, 3, lo=lo).count() == 5
+    # mode 1 intersection: url a spans day1, url b day2 -> empty overlap
+    assert retention_crop(series, 1).count() == 0
+    # mode 2 union: keeps everything
+    assert retention_crop(series, 2).count() == series.count()
+
+
+def test_gapfill_locf(spark):
+    rows = [("a", dt.datetime(2024, 1, 1, h), float(h) if h != 2 else None,
+             0.0, 1) for h in (0, 2, 5)]
+    tier = spark.createDataFrame(
+        rows, "url string, bucket_start timestamp, value_avg double,"
+              " null_fraction double, n_obs long")
+    out = gapfill_tier(tier, "1 hour").orderBy("bucket_start").toPandas()
+    assert len(out) == 6                      # full grid 0..5
+    assert out["value_filled"].tolist() == [0.0, 0.0, 0.0, 0.0, 0.0, 5.0]
+
+
+def test_cumulative(spark):
+    rows = [("a", dt.datetime(2024, 1, 1, h), float(h + 1)) for h in range(4)]
+    tier = spark.createDataFrame(
+        rows, "url string, bucket_start timestamp, value_avg double")
+    out = cumulative(tier).orderBy("bucket_start").toPandas()
+    assert out["value_cuml"].tolist() == [1.0, 3.0, 6.0, 10.0]
