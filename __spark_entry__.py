@@ -1,38 +1,811 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline at sf0.001; ``queries()``
+exposes one callable per implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline suite); ``oracle_sql()`` gives the DuckDB
+twin for every SQL-expressible query. Numeric outputs are rounded
+identically on both sides (regression-scale values to 3dp, value-scale
+to 5dp, ratios to 6dp) and timestamps are emitted as unix-seconds
+bigints so hashing is robust to timezone/precision representation.
+
+The time-series stand-in over the driver tables: events(user_id, ts,
+value) with url = cast(user_id as string), warc_ts = second-truncated
+ts. Deterministic NULL injection (event_id % 10 == 0) exercises the
+NaN paths (reference nodata semantics, shared.py:342-366).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pyrate_spark.config import EngineConfig
+from pyrate_spark.operators import dedup as dd
+from pyrate_spark.operators import similarity as sim
+from pyrate_spark.operators import text as tx
+from pyrate_spark.operators.grouped import (linear_rate_per_url,
+                                            mask_rate_df, mst_annotate,
+                                            stack_rate_per_url,
+                                            temporal_highpass_per_url,
+                                            timeseries_per_url)
+from pyrate_spark.operators.pairs import (epoch_ids, network_pairs,
+                                          sequential_pairs)
+from pyrate_spark.operators.rollup import (cascade_rollup, cumulative,
+                                           gapfill_tier, nn_downsample,
+                                           retention_crop, tier_rollup)
+
+YEAR_SECONDS = 365.25 * 86400.0
+
+# ---------------------------------------------------------------------------
+# shared source fragments
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str, nulls: bool = True,
+            floor_value: bool = False) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = F.col("value")
+    if floor_value:
+        v = F.floor(v).cast("double")
+    if nulls:
+        v = F.when(F.pmod(F.col("event_id"), F.lit(10)) == 0,
+                   None).otherwise(v)
+    return e.select(
+        F.col("user_id").cast("string").alias("url"),
+        F.date_trunc("second", F.col("ts")).alias("warc_ts"),
+        v.alias("value"))
+
+
+# SQL twin of _events (DuckDB); driver pre-registers `events` as a view
+def _events_sql(nulls: bool = True, floor_value: bool = False) -> str:
+    v = "floor(value)" if floor_value else "value"
+    if nulls:
+        v = f"CASE WHEN event_id % 10 = 0 THEN NULL ELSE {v} END"
+    return (f"SELECT CAST(user_id AS VARCHAR) AS url, "
+            f"date_trunc('second', ts) AS warc_ts, {v} AS value FROM events")
+
+
+_HOURLY_SQL = f"""
+    SELECT url,
+           CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT) // 3600 * 3600
+               AS bucket_unix,
+           avg(value) AS raw_avg,
+           avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) AS null_fraction,
+           count(*) AS n_obs
+    FROM ({_events_sql()}) GROUP BY 1, 2
+"""
+
+
+def _u(col):
+    return F.unix_timestamp(col).cast("long")
+
+
+def _nn(col):
+    """NaN -> NULL so Spark kernel outputs hash like DuckDB's NULLs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.isnan(c), None).otherwise(c)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select("vec_id",
+                    F.transform("embedding",
+                                lambda x: x.cast("double")).alias("embedding"),
+                    "label")
+
+
+QUERY_IDS = list(range(10))      # similarity query vectors
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events -> series -> hourly tier -> daily cascade ->
+    per-url linear rate (kernel path) at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    s = _events(spark, sf_dir)
+    hourly = tier_rollup(s, "1 hour", thresh=0.5)
+    daily = cascade_rollup(hourly, "1 day", thresh=0.5)
+    cfg = EngineConfig(velerror_nsig=1, salt_buckets=16)
+    lr = linear_rate_per_url(daily.where(F.col("value_avg").isNotNull()),
+                             cfg, value_col="value_avg",
+                             ts_col="bucket_start")
+    return lr.select("url", F.round("rate", 3).alias("rate"),
+                     F.round("rsquared", 6).alias("rsquared"),
+                     F.col("samples").cast("long").alias("samples"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- scans / projections / epochs ----------------
+    def q_epoch_ids(spark, sf):
+        s = _events(spark, sf)
+        out = epoch_ids(s)
+        return out.select("url", _u("warc_ts").alias("ts_unix"),
+                          F.col("epoch_id").cast("long").alias("epoch_id"),
+                          F.round("span_years", 9).alias("span_years"))
+    q["epoch_ids"] = q_epoch_ids
+
+    def q_sequential_pairs(spark, sf):
+        p = sequential_pairs(_events(spark, sf))
+        return p.select("url", _u("ts_first").alias("first_unix"),
+                        _u("ts_second").alias("second_unix"),
+                        F.round("delta_value", 5).alias("delta_value"),
+                        F.round("time_span", 9).alias("time_span"))
+    q["sequential_pairs"] = q_sequential_pairs
+
+    def q_network_pairs(spark, sf):
+        p = network_pairs(_events(spark, sf), max_span_days=2,
+                          max_pairs_per_epoch=3)
+        return p.select("url", _u("ts_first").alias("first_unix"),
+                        _u("ts_second").alias("second_unix"),
+                        F.round("delta_value", 5).alias("delta_value"),
+                        F.round("time_span", 9).alias("time_span"),
+                        F.round("nan_fraction", 6).alias("nan_fraction"))
+    q["network_pairs"] = q_network_pairs
+
+    # ---------------- rollups / tiers (D1-D3, T17, A6) ----------------
+    def q_rollup_hourly(spark, sf):
+        t = tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+        return t.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.round("value_avg", 5).alias("value_avg"),
+                        F.round("null_fraction", 6).alias("null_fraction"),
+                        F.col("n_obs").cast("long").alias("n_obs"))
+    q["rollup_hourly"] = q_rollup_hourly
+
+    def q_rollup_daily_cascade(spark, sf):
+        h = tier_rollup(_events(spark, sf), "1 hour", thresh=0.99)
+        d = cascade_rollup(h, "1 day", thresh=0.5)
+        return d.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.round("value_avg", 4).alias("value_avg"),
+                        F.round("null_fraction", 6).alias("null_fraction"),
+                        F.col("n_obs").cast("long").alias("n_obs"))
+    q["rollup_daily_cascade"] = q_rollup_daily_cascade
+
+    def q_rollup_weekly(spark, sf):
+        t = tier_rollup(_events(spark, sf), "1 week", thresh=0.5)
+        return t.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.round("value_avg", 3).alias("value_avg"),
+                        F.col("n_obs").cast("long").alias("n_obs"))
+    q["rollup_weekly"] = q_rollup_weekly
+
+    def q_nn_downsample(spark, sf):
+        t = nn_downsample(_events(spark, sf), "1 hour")
+        return t.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.round("value_last", 5).alias("value_last"),
+                        _u("last_ts").alias("last_unix"),
+                        F.col("n_obs").cast("long").alias("n_obs"))
+    q["nn_downsample"] = q_nn_downsample
+
+    def q_retention_intersection(spark, sf):
+        s = retention_crop(_events(spark, sf), mode=1)
+        return s.select("url", _u("warc_ts").alias("ts_unix"),
+                        F.round("value", 5).alias("value"))
+    q["retention_intersection"] = q_retention_intersection
+
+    def q_cumulative_hourly(spark, sf):
+        t = tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+        c = cumulative(t.where(F.col("value_avg").isNotNull()))
+        return c.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.round("value_cuml", 5).alias("value_cuml"))
+    q["cumulative_hourly"] = q_cumulative_hourly
+
+    def q_gapfill_locf(spark, sf):
+        t = tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+        g = gapfill_tier(t, "1 hour", method="locf")
+        return g.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.round("value_filled", 5).alias("value_filled"))
+    q["gapfill_locf"] = q_gapfill_locf
+
+    # ---------------- aggregations (A1-A5, A9) ----------------
+    def q_nan_fraction(spark, sf):
+        s = _events(spark, sf)
+        return (s.groupBy("url")
+                .agg(F.round(F.avg(F.when(F.col("value").isNull(), 1.0)
+                                   .otherwise(0.0)), 6).alias("nan_fraction"),
+                     F.count(F.lit(1)).alias("n")))
+    q["nan_fraction"] = q_nan_fraction
+
+    def q_epoch_histogram(spark, sf):
+        s = _events(spark, sf)
+        return (s.groupBy("warc_ts").count()
+                .select(_u("warc_ts").alias("ts_unix"),
+                        F.col("count").alias("n_repeat")))
+    q["epoch_histogram"] = q_epoch_histogram
+
+    def q_ref_median(spark, sf):
+        s = _events(spark, sf)
+        med = s.groupBy("url").agg(F.median("value").alias("med"))
+        return (s.join(med, "url")
+                .select("url", _u("warc_ts").alias("ts_unix"),
+                        F.round(F.col("value") - F.col("med"), 5)
+                        .alias("value_centred")))
+    q["ref_median"] = q_ref_median
+
+    def q_refpixel_argmin(spark, sf):
+        s = _events(spark, sf)
+        cand = (s.groupBy("url")
+                .agg(F.stddev_samp("value").alias("sd"),
+                     F.count("value").alias("nvalid"))
+                .where(F.col("nvalid") >= 10))
+        return (cand.orderBy(F.asc_nulls_last("sd"), F.asc("url")).limit(1)
+                .select("url", F.round("sd", 6).alias("sd"),
+                        F.col("nvalid").cast("long").alias("nvalid")))
+    q["refpixel_argmin"] = q_refpixel_argmin
+
+    def q_coh_stats(spark, sf):
+        s = _events(spark, sf)
+        return (s.groupBy("url")
+                .agg(F.round(F.median("value"), 5).alias("med"),
+                     F.round(F.avg("value"), 5).alias("mean"),
+                     F.round(F.stddev_samp("value"), 5).alias("sd")))
+    q["coh_stats"] = q_coh_stats
+
+    # ---------------- regression / stacking / inversion ----------------
+    def q_linear_rate_sql(spark, sf):
+        s = _events(spark, sf).where(F.col("value").isNotNull())
+        w0 = Window.partitionBy("url")
+        t = s.withColumn(
+            "t_years",
+            (_u("warc_ts") - _u(F.min("warc_ts").over(w0))).cast("double")
+            / F.lit(YEAR_SECONDS))
+        out = (t.groupBy("url")
+               .agg(F.regr_slope("value", "t_years").alias("slope"),
+                    F.regr_intercept("value", "t_years").alias("icept"),
+                    F.regr_r2("value", "t_years").alias("r2"),
+                    F.regr_count("value", "t_years").alias("n"),
+                    F.regr_sxx("value", "t_years").alias("sxx"),
+                    F.regr_syy("value", "t_years").alias("syy"))
+               .where(F.col("n") >= 2))
+        stderr = F.sqrt((1 - F.col("r2")) * F.col("syy") / F.col("sxx")
+                        / (F.col("n") - 2))
+        return out.select("url",
+                          _nn(F.round("slope", 3)).alias("rate"),
+                          _nn(F.round("icept", 3)).alias("intercept"),
+                          _nn(F.round("r2", 6)).alias("rsquared"),
+                          _nn(F.round(stderr, 3)).alias("error"),
+                          F.col("n").cast("long").alias("samples"))
+    q["linear_rate_sql"] = q_linear_rate_sql
+
+    def q_linear_rate_kernel(spark, sf):
+        s = _events(spark, sf).where(F.col("value").isNotNull())
+        cfg = EngineConfig(velerror_nsig=1, salt_buckets=16)
+        lr = linear_rate_per_url(s, cfg, value_col="value",
+                                 ts_col="warc_ts")
+        return (lr.withColumn("samples", _nn("samples"))
+                .where(F.col("samples").isNotNull() & (F.col("samples") >= 2))
+                .select("url",
+                        _nn(F.round("rate", 3)).alias("rate"),
+                        _nn(F.round("intercept", 3)).alias("intercept"),
+                        _nn(F.round("rsquared", 6)).alias("rsquared"),
+                        _nn(F.round("error", 3)).alias("error"),
+                        F.col("samples").cast("long").alias("samples")))
+    q["linear_rate_kernel"] = q_linear_rate_kernel
+
+    def q_stack_rate_noiter(spark, sf):
+        p = sequential_pairs(_events(spark, sf))
+        cfg = EngineConfig(nsig=10 ** 9, pthr=1, velerror_nsig=1,
+                           salt_buckets=16)
+        st = stack_rate_per_url(p, cfg, use_mst=False)
+        return st.select("url",
+                         _nn(F.round("rate", 2)).alias("rate"),
+                         _nn(F.round("error", 2)).alias("error"),
+                         F.col("samples").cast("long").alias("samples"))
+    q["stack_rate_noiter"] = q_stack_rate_noiter
+
+    def q_mask_rate(spark, sf):
+        p = sequential_pairs(_events(spark, sf))
+        cfg = EngineConfig(nsig=10 ** 9, pthr=1, velerror_nsig=1,
+                           salt_buckets=16)
+        st = mask_rate_df(stack_rate_per_url(p, cfg, use_mst=False),
+                          maxsig=500.0)
+        return st.select("url",
+                         _nn(F.round("rate_masked", 2)).alias("rate_masked"),
+                         _nn(F.round("error_masked", 2)).alias("error_masked"))
+    q["mask_rate"] = q_mask_rate
+
+    def q_timeseries_chain(spark, sf):
+        """SVD inversion on the (connected, integer-valued) chain network:
+        tscuml must equal value - first(value) exactly."""
+        s = _events(spark, sf, nulls=False, floor_value=True)
+        p = sequential_pairs(s)
+        cfg = EngineConfig(ts_method=2, ts_pthr=0, salt_buckets=16)
+        ts = timeseries_per_url(p, cfg, use_mst=False)
+        return ts.select(
+            "url", _u("epoch_ts").alias("epoch_unix"),
+            F.round(_nn("tscuml"), 0).cast("long").alias("tscuml"))
+    q["timeseries_chain"] = q_timeseries_chain
+
+    def q_mst_edge_count(spark, sf):
+        """G1 invariant: spanning tree of a connected epoch network has
+        n_epochs - 1 edges. Uses the null-free series — NaN-valued edges
+        are dropped by the per-pixel MST (mst.py:230-257), which would
+        disconnect the graph and void the invariant."""
+        p = network_pairs(_events(spark, sf, nulls=False), max_span_days=30,
+                          max_pairs_per_epoch=2)
+        ann = mst_annotate(p, EngineConfig(salt_buckets=16))
+        return (ann.groupBy("url")
+                .agg(F.sum(F.col("in_mst").cast("long")).alias("mst_edges"),
+                     F.countDistinct("ts_first", "ts_second").alias("n_pairs")))
+    q["mst_edge_count"] = q_mst_edge_count
+
+    # ---------------- dedup / text / similarity ----------------
+    def q_dedup_exact(spark, sf):
+        return (dd.exact_dedup(_docs(spark, sf))
+                .select("doc_id", "content_hash",
+                        F.col("canonical_id").cast("long").alias("canonical_id"),
+                        F.col("dup_count").cast("long").alias("dup_count")))
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_dedup_jaccard(spark, sf):
+        return dd.jaccard_pairs(_docs(spark, sf), threshold=0.5)
+    q["dedup_jaccard"] = q_dedup_jaccard
+
+    def q_dedup_minhash_lsh(spark, sf):           # rows-only (xxhash64)
+        return dd.minhash_lsh_pairs(_docs(spark, sf), threshold=0.5)
+    q["dedup_minhash_lsh"] = q_dedup_minhash_lsh
+
+    def q_dedup_simhash(spark, sf):               # rows-only (xxhash64)
+        return dd.simhash_near_pairs(_docs(spark, sf), max_hamming=3)
+    q["dedup_simhash"] = q_dedup_simhash
+
+    def q_token_count(spark, sf):
+        t = tx.token_count(_docs(spark, sf))
+        return t.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                        F.col("n_subtokens").cast("long").alias("n_subtokens"))
+    q["token_count"] = q_token_count
+
+    def q_text_quality(spark, sf):
+        t = tx.quality_score(_docs(spark, sf))
+        return t.select("doc_id",
+                        F.col("n_chars_measured").cast("long")
+                        .alias("n_chars_measured"),
+                        F.col("n_tokens").cast("long").alias("n_tokens"),
+                        "punct_ratio", "stopword_ratio", "quality")
+    q["text_quality"] = q_text_quality
+
+    def q_lang_id(spark, sf):
+        t = tx.lang_id(_docs(spark, sf))
+        return t.select("doc_id", "pred_lang",
+                        F.col("marker_hits").cast("long").alias("marker_hits"))
+    q["lang_id"] = q_lang_id
+
+    def q_fingerprint(spark, sf):
+        return tx.fingerprint(_docs(spark, sf))
+    q["fingerprint"] = q_fingerprint
+
+    def q_knn_bruteforce(spark, sf):
+        out = sim.cosine_topk(_emb(spark, sf), QUERY_IDS, k=5)
+        return out.select(F.col("query_id").cast("long").alias("query_id"),
+                          F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                          "cosine", F.col("rank").cast("long").alias("rank"))
+    q["knn_bruteforce"] = q_knn_bruteforce
+
+    def q_knn_ivf(spark, sf):                     # rows-only (probe subset)
+        return sim.ivf_topk(_emb(spark, sf), QUERY_IDS, k=5, probes=2)
+    q["knn_ivf"] = q_knn_ivf
+
+    def q_knn_lsh(spark, sf):                     # rows-only (plane seed)
+        return sim.lsh_topk(_emb(spark, sf), QUERY_IDS, k=5, n_planes=8)
+    q["knn_lsh"] = q_knn_lsh
+
+    def q_multimodal_features(spark, sf):         # rows-only (stubbed decode)
+        from pyrate_spark.operators.multimodal import (extract_features,
+                                                       synth_assets)
+        return extract_features(synth_assets(spark, 64), feat_dim=8)
+    q["multimodal_features"] = q_multimodal_features
+
+    def q_temporal_highpass(spark, sf):           # rows-only (custom window)
+        cfg = EngineConfig(tlpf_cutoff_days=2, tlpf_pthr=1, salt_buckets=16)
+        s = _events(spark, sf)
+        return temporal_highpass_per_url(s, cfg)
+    q["temporal_highpass"] = q_temporal_highpass
+
+    # ---------------- relational anchor ----------------
+    def q_pricing_summary(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                     F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+                     F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 2)
+                     .alias("sum_disc"),
+                     F.round(F.avg("l_quantity"), 5).alias("avg_qty"),
+                     F.count(F.lit(1)).alias("count_order")))
+    q["pricing_summary"] = q_pricing_summary
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    ev = _events_sql()
+    ev_chain = _events_sql(nulls=False, floor_value=True)
+    o: dict[str, str] = {}
+
+    o["epoch_ids"] = f"""
+        SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_unix,
+               dense_rank() OVER (PARTITION BY url ORDER BY warc_ts) - 1
+                   AS epoch_id,
+               round((epoch(warc_ts)
+                      - min(epoch(warc_ts)) OVER (PARTITION BY url))
+                     / {YEAR_SECONDS}, 9) AS span_years
+        FROM ({ev})
     """
-    return {}
+
+    o["sequential_pairs"] = f"""
+        WITH s AS (
+          SELECT url, warc_ts, value,
+                 lag(warc_ts) OVER w AS pts, lag(value) OVER w AS pv
+          FROM ({ev}) WINDOW w AS (PARTITION BY url ORDER BY warc_ts))
+        SELECT url, CAST(epoch(pts) AS BIGINT) AS first_unix,
+               CAST(epoch(warc_ts) AS BIGINT) AS second_unix,
+               round(value - pv, 5) AS delta_value,
+               round((epoch(warc_ts) - epoch(pts)) / {YEAR_SECONDS}, 9)
+                   AS time_span
+        FROM s WHERE pts IS NOT NULL
+    """
+
+    o["network_pairs"] = f"""
+        WITH base AS (
+          SELECT url, warc_ts, value,
+                 avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END)
+                     OVER (PARTITION BY url) AS nan_fraction
+          FROM ({ev})),
+        j AS (
+          SELECT a.url, a.warc_ts AS ts1, b.warc_ts AS ts2,
+                 b.value - a.value AS dv, a.nan_fraction,
+                 row_number() OVER (PARTITION BY a.url, a.warc_ts
+                                    ORDER BY b.warc_ts) AS rk
+          FROM base a JOIN base b
+            ON a.url = b.url AND b.warc_ts > a.warc_ts
+           AND b.warc_ts <= a.warc_ts + INTERVAL 2 DAY)
+        SELECT url, CAST(epoch(ts1) AS BIGINT) AS first_unix,
+               CAST(epoch(ts2) AS BIGINT) AS second_unix,
+               round(dv, 5) AS delta_value,
+               round((epoch(ts2) - epoch(ts1)) / {YEAR_SECONDS}, 9)
+                   AS time_span,
+               round(nan_fraction, 6) AS nan_fraction
+        FROM j WHERE rk <= 3
+    """
+
+    _thr = ("CASE WHEN null_fraction < {t} OR (null_fraction = 0 AND {t} = 0)"
+            " THEN raw_avg ELSE NULL END")
+
+    o["rollup_hourly"] = f"""
+        WITH h AS ({_HOURLY_SQL})
+        SELECT url, bucket_unix,
+               round({_thr.format(t=0.5)}, 5) AS value_avg,
+               round(null_fraction, 6) AS null_fraction, n_obs
+        FROM h
+    """
+
+    o["rollup_daily_cascade"] = f"""
+        WITH d AS (
+          SELECT url,
+                 CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT)
+                     // 86400 * 86400 AS bucket_unix,
+                 avg(value) AS raw_avg,
+                 avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END)
+                     AS null_fraction,
+                 count(*) AS n_obs
+          FROM ({ev}) GROUP BY 1, 2)
+        SELECT url, bucket_unix,
+               round({_thr.format(t=0.5)}, 4) AS value_avg,
+               round(null_fraction, 6) AS null_fraction, n_obs
+        FROM d
+    """
+
+    o["rollup_weekly"] = f"""
+        WITH w AS (
+          SELECT url,
+                 CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT)
+                     // 604800 * 604800 AS bucket_unix,
+                 avg(value) AS raw_avg,
+                 avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END)
+                     AS null_fraction,
+                 count(*) AS n_obs
+          FROM ({ev}) GROUP BY 1, 2)
+        SELECT url, bucket_unix,
+               round({_thr.format(t=0.5)}, 3) AS value_avg, n_obs
+        FROM w
+    """
+
+    o["nn_downsample"] = f"""
+        WITH b AS (
+          SELECT url,
+                 CAST(epoch(warc_ts) AS BIGINT) // 3600 * 3600 AS bucket_unix,
+                 warc_ts, value,
+                 row_number() OVER (
+                     PARTITION BY url,
+                                  CAST(epoch(warc_ts) AS BIGINT) // 3600
+                     ORDER BY warc_ts DESC, value DESC NULLS LAST) AS rk,
+                 count(*) OVER (
+                     PARTITION BY url,
+                                  CAST(epoch(warc_ts) AS BIGINT) // 3600)
+                     AS n_obs
+          FROM ({ev}))
+        SELECT url, bucket_unix, round(value, 5) AS value_last,
+               CAST(epoch(warc_ts) AS BIGINT) AS last_unix, n_obs
+        FROM b WHERE rk = 1
+    """
+
+    o["retention_intersection"] = f"""
+        WITH ext AS (SELECT url, min(warc_ts) mn, max(warc_ts) mx
+                     FROM ({ev}) GROUP BY url),
+             b AS (SELECT max(mn) lo, min(mx) hi FROM ext)
+        SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_unix,
+               round(value, 5) AS value
+        FROM ({ev}), b WHERE warc_ts >= b.lo AND warc_ts <= b.hi
+    """
+
+    o["cumulative_hourly"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT url, bucket_unix,
+                     {_thr.format(t=0.5)} AS value_avg FROM h)
+        SELECT url, bucket_unix,
+               round(sum(value_avg) OVER (PARTITION BY url ORDER BY
+                     bucket_unix ROWS UNBOUNDED PRECEDING), 5) AS value_cuml
+        FROM v WHERE value_avg IS NOT NULL
+    """
+
+    o["gapfill_locf"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT url, bucket_unix,
+                     {_thr.format(t=0.5)} AS value_avg FROM h),
+        ext AS (SELECT url, min(bucket_unix) mn, max(bucket_unix) mx
+                FROM v GROUP BY url),
+        grid AS (SELECT url, unnest(generate_series(mn, mx, 3600))
+                     AS bucket_unix FROM ext)
+        SELECT g.url, g.bucket_unix,
+               round(last_value(v.value_avg IGNORE NULLS) OVER (
+                   PARTITION BY g.url ORDER BY g.bucket_unix), 5)
+                   AS value_filled
+        FROM grid g LEFT JOIN v
+          ON g.url = v.url AND g.bucket_unix = v.bucket_unix
+    """
+
+    o["nan_fraction"] = f"""
+        SELECT url,
+               round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6)
+                   AS nan_fraction,
+               count(*) AS n
+        FROM ({ev}) GROUP BY url
+    """
+
+    o["epoch_histogram"] = f"""
+        SELECT CAST(epoch(warc_ts) AS BIGINT) AS ts_unix,
+               count(*) AS n_repeat FROM ({ev}) GROUP BY 1
+    """
+
+    o["ref_median"] = f"""
+        WITH m AS (SELECT url, median(value) med FROM ({ev}) GROUP BY url)
+        SELECT e.url, CAST(epoch(e.warc_ts) AS BIGINT) AS ts_unix,
+               round(e.value - m.med, 5) AS value_centred
+        FROM ({ev}) e JOIN m ON e.url = m.url
+    """
+
+    o["refpixel_argmin"] = f"""
+        SELECT url, round(sd, 6) AS sd, nvalid FROM (
+          SELECT url, stddev_samp(value) sd, count(value) nvalid
+          FROM ({ev}) GROUP BY url) t
+        WHERE nvalid >= 10
+        ORDER BY sd ASC NULLS LAST, url ASC LIMIT 1
+    """
+
+    o["coh_stats"] = f"""
+        SELECT url, round(median(value), 5) AS med,
+               round(avg(value), 5) AS mean,
+               round(stddev_samp(value), 5) AS sd
+        FROM ({ev}) GROUP BY url
+    """
+
+    _lr = f"""
+        SELECT url, regr_slope(value, t) slope, regr_intercept(value, t) icept,
+               regr_r2(value, t) r2, regr_count(value, t) n,
+               regr_sxx(value, t) sxx, regr_syy(value, t) syy
+        FROM (SELECT url, value,
+                     (epoch(warc_ts)
+                      - min(epoch(warc_ts)) OVER (PARTITION BY url))
+                     / {YEAR_SECONDS} AS t
+              FROM ({ev}) WHERE value IS NOT NULL)
+        GROUP BY url HAVING regr_count(value, t) >= 2
+    """
+    _lr_sel = """
+        SELECT url, round(slope, 3) AS rate, round(icept, 3) AS intercept,
+               round(r2, 6) AS rsquared,
+               round(sqrt((1 - r2) * syy / sxx / (n - 2)), 3) AS error,
+               n AS samples
+    """
+    o["linear_rate_sql"] = f"{_lr_sel} FROM ({_lr})"
+    o["linear_rate_kernel"] = f"{_lr_sel} FROM ({_lr})"
+
+    o["stack_rate_noiter"] = f"""
+        WITH s AS (
+          SELECT url, warc_ts, value, lag(warc_ts) OVER w AS pts,
+                 lag(value) OVER w AS pv
+          FROM ({ev}) WINDOW w AS (PARTITION BY url ORDER BY warc_ts)),
+        p AS (SELECT url, value - pv AS dv,
+                     (epoch(warc_ts) - epoch(pts)) / {YEAR_SECONDS} AS sp
+              FROM s WHERE pts IS NOT NULL)
+        SELECT url,
+               round(sum(sp * dv) FILTER (dv IS NOT NULL)
+                     / sum(sp * sp) FILTER (dv IS NOT NULL), 2) AS rate,
+               round(sqrt(1.0 / sum(sp * sp) FILTER (dv IS NOT NULL)), 2)
+                   AS error,
+               count(dv) AS samples
+        FROM p GROUP BY url
+    """
+
+    o["mask_rate"] = f"""
+        WITH st AS ({o['stack_rate_noiter'].replace('round(', 'round(').strip()})
+        SELECT url,
+               CASE WHEN error > 500.0 THEN NULL ELSE rate END AS rate_masked,
+               CASE WHEN error > 500.0 THEN NULL ELSE error END AS error_masked
+        FROM st
+    """
+
+    # reference quirk preserved: tsvel == 0 -> NaN (timeseries.py:149),
+    # and cumsum propagates it — so once any interval delta is exactly 0,
+    # every later tscuml of that url is NULL
+    o["timeseries_chain"] = f"""
+        WITH s AS (SELECT url, warc_ts, value,
+                          first_value(value) OVER w AS v0,
+                          value - lag(value) OVER w AS delta
+                   FROM ({ev_chain})
+                   WINDOW w AS (PARTITION BY url ORDER BY warc_ts)),
+        z AS (SELECT url, warc_ts, value, v0,
+                     max(CASE WHEN delta = 0 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY url ORDER BY warc_ts
+                               ROWS UNBOUNDED PRECEDING) AS zeroed
+              FROM s)
+        SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS epoch_unix,
+               CASE WHEN zeroed = 1 THEN NULL
+                    ELSE CAST(round(value - v0, 0) AS BIGINT) END AS tscuml
+        FROM z
+    """
+
+    o["mst_edge_count"] = f"""
+        WITH base AS (SELECT url, warc_ts FROM ({_events_sql(nulls=False)})),
+        j AS (SELECT a.url, a.warc_ts ts1, b.warc_ts ts2,
+                     row_number() OVER (PARTITION BY a.url, a.warc_ts
+                                        ORDER BY b.warc_ts) rk
+              FROM base a JOIN base b
+                ON a.url = b.url AND b.warc_ts > a.warc_ts
+               AND b.warc_ts <= a.warc_ts + INTERVAL 30 DAY),
+        pairs AS (SELECT DISTINCT url, ts1, ts2 FROM j WHERE rk <= 2),
+        nodes AS (SELECT url, count(DISTINCT ts) n_epochs FROM (
+            SELECT url, ts1 AS ts FROM pairs
+            UNION SELECT url, ts2 FROM pairs) GROUP BY url)
+        SELECT p.url, n.n_epochs - 1 AS mst_edges, count(*) AS n_pairs
+        FROM pairs p JOIN nodes n ON p.url = n.url
+        GROUP BY p.url, n.n_epochs
+    """
+
+    # ---------------- documents ----------------
+    o["dedup_exact"] = """
+        SELECT doc_id, md5(text) AS content_hash,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+               count(*) OVER (PARTITION BY md5(text)) AS dup_count
+        FROM documents
+    """
+
+    o["dedup_jaccard"] = r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(
+              regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) n FROM toks GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """
+
+    o["token_count"] = r"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subtokens
+        FROM documents
+    """
+
+    o["text_quality"] = r"""
+        WITH m AS (
+          SELECT doc_id, length(text) AS n_chars_measured,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                 length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+                 len(regexp_extract_all(lower(text), '\bthe\b'))
+                 + len(regexp_extract_all(lower(text), '\band\b'))
+                 + len(regexp_extract_all(lower(text), '\bof\b'))
+                 + len(regexp_extract_all(lower(text), '\bis\b')) AS n_stop
+          FROM documents)
+        SELECT doc_id, n_chars_measured, n_tokens,
+               round(n_punct * 1.0 / n_chars_measured, 6) AS punct_ratio,
+               round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+               round(
+                 (CASE WHEN n_chars_measured < 50 THEN 0.0 ELSE 1.0 END)
+                 * (CASE WHEN n_punct * 1.0 / n_chars_measured > 0.2
+                         THEN 0.5 ELSE 1.0 END)
+                 * (CASE WHEN n_stop * 1.0 / n_tokens < 0.01
+                         THEN 0.5 ELSE 1.0 END)
+                 * (CASE WHEN (n_chars_measured - n_tokens + 1) * 1.0
+                              / n_tokens < 2
+                          OR (n_chars_measured - n_tokens + 1) * 1.0
+                              / n_tokens > 12
+                         THEN 0.5 ELSE 1.0 END), 6) AS quality
+        FROM m
+    """
+
+    _lang_score = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in words)
+        for lang, words in sorted(tx.LANG_MARKERS.items())
+    }
+    _best = "greatest(" + ", ".join(f"s_{L}" for L in sorted(tx.LANG_MARKERS)) + ")"
+    _pred = "'und'"
+    for L in sorted(tx.LANG_MARKERS, reverse=True):
+        _pred = (f"CASE WHEN s_{L} = {_best} AND {_best} > 0 "
+                 f"THEN '{L}' ELSE {_pred} END")
+    o["lang_id"] = f"""
+        WITH sc AS (SELECT doc_id,
+            {', '.join(f'{expr} AS s_{L}' for L, expr in _lang_score.items())}
+            FROM documents)
+        SELECT doc_id, {_pred} AS pred_lang, {_best} AS marker_hits FROM sc
+    """
+
+    o["fingerprint"] = r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    """
+
+    o["knn_bruteforce"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                   FROM embeddings WHERE vec_id IN
+                   ({', '.join(str(i) for i in QUERY_IDS)})),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(
+                     CAST(q.qvec AS DOUBLE[]),
+                     CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    o["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+               round(avg(l_quantity), 5) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    return o

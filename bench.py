@@ -1,0 +1,154 @@
+"""Headline benchmark: one JSON line for the driver.
+
+Runs the engine's headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- pages_rollup_cascade: 1M-row synthetic pages table (generated
+  in-process by spark.range — generation is part of the measured work
+  and itself scales) -> raw->hour->day->week tier cascade.
+- pages_inversion: pair network + per-url SVD time-series inversion +
+  linear rate over the same pages table (the grouped-map kernel path).
+- events_stack: sequential pairs + iterative WLS stacking on the driver
+  events table.
+- dedup_minhash: MinHash/LSH near-dup pairs over documents.
+- knn_bruteforce: exact cosine top-k over embeddings.
+- pricing_summary: relational anchor over lineitem.
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf", plus rows/sec context fields}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyrate_spark.config import EngineConfig
+from pyrate_spark.datagen import generate_pages
+from pyrate_spark.operators.dedup import minhash_lsh_pairs
+from pyrate_spark.operators.extract import extract_series
+from pyrate_spark.operators.grouped import (linear_rate_per_url,
+                                            stack_rate_per_url,
+                                            timeseries_per_url)
+from pyrate_spark.operators.pairs import network_pairs, sequential_pairs
+from pyrate_spark.operators.rollup import cascade_rollup, tier_rollup
+from pyrate_spark.operators.similarity import cosine_topk
+from pyrate_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_URLS = int(os.environ.get("PYRATE_BENCH_URLS", "25000"))
+EPOCHS = int(os.environ.get("PYRATE_BENCH_EPOCHS", "48"))
+
+
+def main():
+    spark = get_session("pyrate-bench", parallelism=CPUS,
+                        shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    # steady-state measurement: spin up the python worker pool first
+    # (long-lived executors on a real cluster amortise this)
+    from pyrate_spark.operators.grouped import warm_python_workers
+    t0 = time.perf_counter()
+    warm_python_workers(spark)
+    meta["worker_warmup_sec"] = round(time.perf_counter() - t0, 3)
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- pages tier cascade (the headline rollup) ----
+    pages = generate_pages(spark, n_urls=N_URLS, epochs_per_url=EPOCHS,
+                           hot_urls=max(N_URLS // 1000, 1), hot_factor=20,
+                           null_pct=10, seed=42)
+    series = extract_series(pages).persist()
+    n_rows = timed("pages_materialize", lambda: series.count())
+    meta["pages_rows"] = n_rows
+
+    def rollup_cascade():
+        h = tier_rollup(series, "1 hour", thresh=0.5).persist()
+        hc = h.count()
+        d = cascade_rollup(h, "1 day").persist()
+        dc = d.count()
+        w = cascade_rollup(d, "1 week")
+        wc = w.count()
+        meta["tier_buckets"] = hc + dc + wc
+        h.unpersist()
+        d.unpersist()
+        return wc
+
+    timed("pages_rollup_cascade", rollup_cascade)
+    meta["rollup_rows_per_sec"] = round(
+        n_rows / max(timings["pages_rollup_cascade"], 1e-9))
+
+    # ---- per-url inversion + linear rate (grouped-map kernels) ----
+    cfg = EngineConfig(ts_method=2, ts_pthr=0, velerror_nsig=1,
+                       salt_buckets=CPUS * 8)
+    pairs = network_pairs(series, max_span_days=3,
+                          max_pairs_per_epoch=2).persist()
+    meta["pair_rows"] = timed("pages_pair_network", lambda: pairs.count())
+
+    def inversion():
+        ts = timeseries_per_url(pairs, cfg, use_mst=False)
+        lr = linear_rate_per_url(ts, cfg)
+        return lr.count()
+
+    meta["inverted_urls"] = timed("pages_inversion", inversion)
+    meta["inversion_rows_per_sec"] = round(
+        meta["pair_rows"] / max(timings["pages_inversion"], 1e-9))
+    pairs.unpersist()
+    series.unpersist()
+
+    # ---- driver tables ----
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("user_id").cast("string").alias("url"),
+        F.date_trunc("second", "ts").alias("warc_ts"),
+        F.col("value"))
+    scfg = EngineConfig(nsig=3, pthr=3, velerror_nsig=1, salt_buckets=CPUS)
+    timed("events_stack",
+          lambda: stack_rate_per_url(sequential_pairs(ev), scfg,
+                                     use_mst=False).count())
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("dedup_minhash",
+          lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("embedding"),
+        "label")
+    timed("knn_bruteforce",
+          lambda: cosine_topk(emb, list(range(10)), k=5).count())
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    timed("pricing_summary", lambda: (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
+             F.count(F.lit(1))).count()))
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        **meta,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

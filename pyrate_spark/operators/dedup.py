@@ -1,0 +1,163 @@
+"""Deduplication suite for web-scale corpora.
+
+- exact: md5 hash-groupBy — one shuffle on the hash.
+- n-gram Jaccard: token-set self-join (explode -> equi-join -> count
+  ratio) — exact, SQL-expressible, quadratic only within shared-token
+  groups.
+- MinHash + LSH: shingles -> k min-hashes (ONE groupBy with k min()
+  aggregates, no k-way explode) -> band buckets -> bucket self-join ->
+  exact-Jaccard verify. The standard sub-quadratic near-dup path at
+  10^12 docs; every hash is xxhash64(shingle, seed) so results are
+  deterministic and cluster-size-invariant.
+- SimHash: 64-bit sign-of-weighted-sum fingerprint via explode +
+  bit-count aggregation (pure column algebra), Hamming-distance
+  candidates via 4x16-bit band buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_WS = r"\s+"
+
+
+def _tokens(text_col: str):
+    return F.split(F.trim(F.lower(F.col(text_col))), _WS)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, content_hash, canonical_id, dup_count): canonical is the
+    min doc_id per identical text."""
+    h = docs.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return (h
+            .withColumn("canonical_id", F.min("doc_id").over(w))
+            .withColumn("dup_count", F.count("*").over(w)))
+
+
+def jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard over all candidate pairs that share at
+    least one token. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    toks = (docs
+            .select("doc_id", F.explode(F.array_distinct(_tokens(text_col)))
+                    .alias("tok")))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    shared = (a.join(b, "tok")
+              .where(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (shared.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("inter")
+                            / (F.col("na") + F.col("nb") - F.col("inter")),
+                            6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Word n-gram shingles as strings (array), via sliding index over
+    the token array — pure column algebra."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", F.slice(toks, i + 1, n))))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       num_hashes: int = 16, shingle_n: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """(doc_id, sig array<long>): k independent min-hashes computed as k
+    min() aggregates over ONE exploded shingle set."""
+    sh = (docs.select("doc_id",
+                      F.explode(F.array_distinct(_shingles(text_col,
+                                                           shingle_n)))
+                      .alias("shingle")))
+    aggs = [F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3, threshold: float = 0.5,
+                      seed: int = 42) -> DataFrame:
+    """Candidate pairs from band-bucket collisions, verified with exact
+    Jaccard. Returns (doc_a, doc_b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, num_hashes, shingle_n, seed)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.concat_ws(
+                     ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)])).alias("bucket"))
+        for b in range(bands)]
+    buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+               .select("doc_id", "bb.band", "bb.bucket"))
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    # exact verify on the candidates only
+    sh = (docs.select("doc_id",
+                      F.array_distinct(_shingles(text_col, shingle_n))
+                      .alias("sh")))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.size(F.array_intersect("sha", "shb"))
+                            / F.size(F.array_union("sha", "shb")),
+                            6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            seed: int = 42) -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, per-bit +-1 vote,
+    sign -> bit. Explode + 64 conditional sums in one aggregation."""
+    toks = (docs.select("doc_id", F.explode(_tokens(text_col)).alias("tok"))
+            .withColumn("h", F.xxhash64("tok", F.lit(seed))))
+    votes = [F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                          1).otherwise(-1)).alias(f"b{i}")
+             for i in range(64)]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = sum((F.when(F.col(f"b{i}") > 0,
+                     F.lit(1).cast("long") * F.lit(2 ** i
+                                                   if i < 63 else -(2 ** 63)))
+              .otherwise(0) for i in range(64)), F.lit(0).cast("long"))
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       max_hamming: int = 3, seed: int = 42) -> DataFrame:
+    """Near-dup candidates via 4x16-bit band buckets (any band equal ->
+    candidate; catches all pairs with hamming <= 3), verified by exact
+    popcount distance."""
+    fp = simhash(docs, text_col, seed)
+    bandc = [F.struct(F.lit(b).alias("band"),
+                      F.shiftrightunsigned("simhash", 16 * b)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
+             for b in range(4)]
+    buckets = (fp.select("doc_id", "simhash",
+                         F.explode(F.array(*bandc)).alias("bb"))
+               .select("doc_id", "simhash", "bb.band", "bb.bucket"))
+    a = buckets.select(F.col("doc_id").alias("doc_a"),
+                       F.col("simhash").alias("fa"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"),
+                       F.col("simhash").alias("fb"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "fa", "fb").distinct())
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

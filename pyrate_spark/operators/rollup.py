@@ -83,13 +83,17 @@ def nn_downsample(series: DataFrame, tier: str = "1 hour",
     """D3: nearest-neighbour = last sample in the bucket
     (max_by on the event time; one shuffle, no window function)."""
     win = F.window("warc_ts", tier)
+    # struct-max keeps a NULL last value as NULL (max_by would skip it);
+    # ties on the timestamp break on the larger value, deterministically
+    last = F.max(F.struct(F.col("warc_ts").alias("ts"),
+                          F.col(value_col).alias("v")))
     return (series
             .groupBy("url", win.alias("w"))
-            .agg(F.max_by(value_col, "warc_ts").alias("value_last"),
-                 F.max("warc_ts").alias("last_ts"),
+            .agg(last.alias("_last"),
                  F.count(F.lit(1)).alias("n_obs"))
             .select("url", F.col("w.start").alias("bucket_start"),
-                    "value_last", "last_ts", "n_obs"))
+                    F.col("_last.v").alias("value_last"),
+                    F.col("_last.ts").alias("last_ts"), "n_obs"))
 
 
 def retention_crop(df: DataFrame, mode: int = 3, ts_col: str = "warc_ts",

@@ -1,0 +1,233 @@
+"""Worker-side UDF bodies — deliberately free of pyspark imports.
+
+cloudpickle ships grouped-map closures by value but their referenced
+globals by module; if those globals live in a module that imports
+pyspark.sql, every fresh python worker pays the whole pyspark import
+chain on its first task (measured: ~33 s cold-start storm for 64
+workers on local[32] vs 0.8 s warm). This module's import closure is
+numpy + pandas + pyrate_spark.kernels only, which the Arrow worker
+runtime has effectively already loaded.
+
+Each ``make_*`` factory binds config scalars into a closure and returns
+the pandas-DataFrame -> pandas-DataFrame function for applyInPandas.
+Determinism: every kernel sorts a key's rows by (ts_first, ts_second)
+— or the single ts — before computing, so results are identical across
+partitionings and cluster sizes (the reference's explicit file-list
+sorts, closure_check.py:92,184; O4 in SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyrate_spark.kernels.epochs import SECONDS_PER_YEAR, epochs_from_pairs
+from pyrate_spark.kernels.linalg import linregress_batch
+from pyrate_spark.kernels.mst import mst_select_pixel, mst_stats
+from pyrate_spark.kernels.stack import stack_rate_pixel
+from pyrate_spark.kernels.tempfilter import temporal_high_pass
+from pyrate_spark.kernels.timeseries import time_series_pixel
+from pyrate_spark.kernels.vcm import get_vcmt
+
+
+def group_slices(pdf: pd.DataFrame, key: str = "url"):
+    """(key, row-index array) per key via one argsort — cheaper than
+    pandas groupby for many keys per bucket."""
+    keys = pdf[key].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    boundaries = np.flatnonzero(
+        np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1])))
+    for i, start in enumerate(boundaries):
+        stop = boundaries[i + 1] if i + 1 < len(boundaries) else len(order)
+        yield sorted_keys[start], order[start:stop]
+
+
+def ts_seconds(col: pd.Series) -> np.ndarray:
+    return col.to_numpy().astype("datetime64[s]").astype(np.int64)
+
+
+def _vcmt_for(vcm_mode: str, phase, ifirst, isecond):
+    """identity (default) or Biggs pattern x per-key sample variance
+    (the maxvar analog; covariance.py:257-309)."""
+    n = len(phase)
+    if vcm_mode == "pattern":
+        finite = np.isfinite(phase)
+        mv = float(np.var(phase[finite], ddof=1)) if finite.sum() > 1 else 1.0
+        mv = max(mv, 1e-9)
+        return get_vcmt(ifirst, isecond, np.full(n, mv))
+    return np.eye(n)
+
+
+def _pair_arrays(pdf: pd.DataFrame):
+    first_all = ts_seconds(pdf["ts_first"])
+    second_all = ts_seconds(pdf["ts_second"])
+    phase_all = pdf["delta_value"].to_numpy(dtype=np.float64)
+    weight_all = (pdf["nan_fraction"].to_numpy(dtype=np.float64)
+                  if "nan_fraction" in pdf else np.zeros(len(pdf)))
+    return first_all, second_all, phase_all, weight_all
+
+
+def _sorted_key_rows(first_all, second_all, idx):
+    """Deterministic per-key row order: (ts_first, ts_second)."""
+    sub = np.lexsort((second_all[idx], first_all[idx]))
+    return idx[sub]
+
+
+def make_timeseries_fn(method: int, pthr: int, smorder: int,
+                       smfactor: float, use_mst: bool, vcm_mode: str):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
+        for url, idx in group_slices(pdf):
+            idx = _sorted_key_rows(first_all, second_all, idx)
+            fs, ss = first_all[idx], second_all[idx]
+            phase, weight = phase_all[idx], weight_all[idx]
+            dates, spans, ifirst, isecond = epochs_from_pairs(fs, ss)
+            if len(dates) < 2:
+                continue
+            if use_mst:
+                sel = mst_select_pixel(phase, fs.tolist(), ss.tolist(),
+                                       weight.tolist())
+                _, is_tree, _ = mst_stats(fs.tolist(), ss.tolist(),
+                                          weight.tolist())
+                interp = 0 if is_tree else 1   # timeseries.py:49
+            else:
+                sel = ~np.isnan(phase)
+                interp = 0
+            vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond)
+            try:
+                _, tsincr, tscuml = time_series_pixel(
+                    phase, ifirst, isecond, spans, method=method,
+                    pthresh=pthr, smorder=smorder, smfactor_log10=smfactor,
+                    vcmt=vcmt, mst_sel=sel, interp=interp)
+            except np.linalg.LinAlgError:
+                nv = len(dates) - 1
+                tsincr = tscuml = np.full(nv, np.nan, dtype=np.float32)
+            span_d = np.diff(spans).astype(np.float32)
+            tsvel = np.where(span_d != 0, tsincr / span_d, np.nan)
+            # zero epoch emitted too: np.insert(tscuml, 0, 0) analog
+            # (timeseries.py:429)
+            outs.append(pd.DataFrame({
+                "url": url,
+                "epoch_id": np.arange(0, len(dates), dtype=np.int32),
+                "epoch_ts": pd.to_datetime(dates, unit="s"),
+                "tsvel": np.concatenate(([np.nan], tsvel)).astype(np.float32),
+                "tsincr": np.concatenate(([np.nan], tsincr)).astype(np.float32),
+                "tscuml": np.concatenate(([0.0], tscuml)).astype(np.float32),
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "url": pd.Series(dtype=object),
+                "epoch_id": pd.Series(dtype=np.int32),
+                "epoch_ts": pd.Series(dtype="datetime64[ns]"),
+                "tsvel": pd.Series(dtype=np.float32),
+                "tsincr": pd.Series(dtype=np.float32),
+                "tscuml": pd.Series(dtype=np.float32)})
+        return pd.concat(outs, ignore_index=True)
+    return fn
+
+
+def make_stack_fn(nsig: float, pthr: int, nsig_scale: float,
+                  use_mst: bool, vcm_mode: str):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
+        span_all = pdf["time_span"].to_numpy(dtype=np.float64)
+        for url, idx in group_slices(pdf):
+            idx = _sorted_key_rows(first_all, second_all, idx)
+            phase = phase_all[idx]
+            span = span_all[idx]
+            fs, ss, weight = first_all[idx], second_all[idx], weight_all[idx]
+            if use_mst:
+                sel = mst_select_pixel(phase, fs.tolist(), ss.tolist(),
+                                       weight.tolist())
+            else:
+                sel = ~np.isnan(phase)
+            sel = sel & ~np.isnan(phase)        # stack.py:185
+            obs = np.where(np.isnan(phase), 0.0, phase)   # stack.py:179
+            _, _, ifirst, isecond = epochs_from_pairs(fs, ss)
+            vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond)
+            try:
+                rate, err, samp = stack_rate_pixel(
+                    obs, sel, vcmt, span[None, :], nsig, pthr)
+            except np.linalg.LinAlgError:
+                rate, err, samp = np.nan, np.nan, int(sel.sum())
+            rows.append((url, rate,
+                         err * nsig_scale if np.isfinite(err) else err,
+                         samp))
+        return pd.DataFrame(rows, columns=["url", "rate", "error", "samples"])
+    return fn
+
+
+def make_linear_rate_fn(err_scale: float, value_col: str, ts_col: str):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts_all = ts_seconds(pdf[ts_col]).astype(np.float64)
+        y_all = pdf[value_col].to_numpy(dtype=np.float64)
+        slices = list(group_slices(pdf))
+        if not slices:
+            return pd.DataFrame(columns=["url", "rate", "intercept",
+                                         "rsquared", "error", "samples"])
+        width = max(len(idx) for _, idx in slices)
+        n = len(slices)
+        T = np.zeros((n, width))
+        Y = np.full((n, width), np.nan)
+        urls = []
+        for i, (url, idx) in enumerate(slices):
+            order = np.argsort(ts_all[idx], kind="stable")
+            t = ts_all[idx][order]
+            y = y_all[idx][order]
+            T[i, :len(t)] = (t - t[0]) / SECONDS_PER_YEAR
+            Y[i, :len(y)] = y
+            urls.append(url)
+        s, i_, r2, se, ns = linregress_batch(T, Y)
+        return pd.DataFrame({
+            "url": urls, "rate": s, "intercept": i_, "rsquared": r2,
+            "error": se * err_scale, "samples": ns})
+    return fn
+
+
+def make_temporal_hp_fn(cutoff_days: int, pthr: int, value_col: str,
+                        ts_col: str):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        ts_all = ts_seconds(pdf[ts_col])
+        v_all = pdf[value_col].to_numpy(dtype=np.float64)
+        for url, idx in group_slices(pdf):
+            order = np.argsort(ts_all[idx], kind="stable")
+            t = ts_all[idx][order]
+            v = v_all[idx][order]
+            spans = (t - t[0]) / SECONDS_PER_YEAR
+            spans_full = np.concatenate(
+                (spans, [spans[-1] + (spans[-1] - spans[-2]
+                                      if len(spans) > 1 else 1.0)]))
+            hp, lp = temporal_high_pass(v, spans_full, cutoff_days, pthr)
+            outs.append(pd.DataFrame({
+                "url": url,
+                "epoch_ts": pd.to_datetime(t, unit="s"),
+                "value_hp": hp, "value_lp": lp}))
+        if not outs:
+            return pd.DataFrame({
+                "url": pd.Series(dtype=object),
+                "epoch_ts": pd.Series(dtype="datetime64[ns]"),
+                "value_hp": pd.Series(dtype=np.float64),
+                "value_lp": pd.Series(dtype=np.float64)})
+        return pd.concat(outs, ignore_index=True)
+    return fn
+
+
+def make_mst_fn():
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
+        in_mst = np.zeros(len(pdf), dtype=bool)
+        for url, idx in group_slices(pdf):
+            idx = _sorted_key_rows(first_all, second_all, idx)
+            sel = mst_select_pixel(
+                phase_all[idx], first_all[idx].tolist(),
+                second_all[idx].tolist(), weight_all[idx].tolist())
+            in_mst[idx] = sel
+        out = pdf[["url", "ts_first", "ts_second", "delta_value",
+                   "time_span", "nan_fraction"]].copy()
+        out["in_mst"] = in_mst
+        return out
+    return fn

@@ -18,6 +18,13 @@ def get_session(app_name: str = "pyrate-spark",
                 parallelism: int | None = None,
                 shuffle_partitions: int | None = None,
                 extra: dict | None = None) -> SparkSession:
+    # one BLAS thread per python worker: with N workers already running
+    # one task each, multi-threaded BLAS inside the numpy kernels would
+    # oversubscribe N*N threads and thrash. Must be set before workers
+    # fork (they inherit the driver env in local mode).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
     master = f"local[{cpus}]" if cpus else "local[*]"
     builder = (
