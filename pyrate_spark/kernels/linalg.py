@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 
-def pivoted_qr(a: np.ndarray):
+def pivoted_qr(a: np.ndarray, need_q: bool = True):
     """Householder QR with greedy column pivoting.
 
     Functional replacement for ``scipy.linalg.qr(a, mode='economic',
@@ -21,13 +21,16 @@ def pivoted_qr(a: np.ndarray):
     remaining column with the largest trailing norm is pivoted in (the
     same greedy rule LAPACK geqp3 follows).
 
-    Returns (Q, R, piv) with A[:, piv] = Q @ R.
+    Returns (Q, R, piv) with A[:, piv] = Q @ R. ``need_q=False`` skips
+    the Q accumulation (the O(m^2) part) — rank/pivot detection only
+    needs R and piv.
     """
     R = np.asarray(a, dtype=np.float64).copy()
     m, n = R.shape
     piv = np.arange(n)
-    Q = np.eye(m)
-    for k in range(min(m, n)):
+    kmin = min(m, n)
+    Q = np.eye(m) if need_q else None
+    for k in range(kmin):
         norms = np.sqrt((R[k:, k:] ** 2).sum(axis=0))
         j = int(np.argmax(norms)) + k
         if j != k:
@@ -44,9 +47,9 @@ def pivoted_qr(a: np.ndarray):
             continue
         v = v / vn
         R[k:, k:] -= 2.0 * np.outer(v, v @ R[k:, k:])
-        Q[:, k:] -= 2.0 * np.outer(Q[:, k:] @ v, v)
-    k = min(m, n)
-    return Q[:, :k], R[:k, :], piv
+        if need_q:
+            Q[:, k:] -= 2.0 * np.outer(Q[:, k:] @ v, v)
+    return (Q[:, :kmin] if need_q else None), R[:kmin, :], piv
 
 
 def linregress(t: np.ndarray, y: np.ndarray):

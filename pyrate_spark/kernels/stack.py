@@ -24,27 +24,46 @@ def stack_rate_pixel(obs: np.ndarray, mst: np.ndarray, vcmt: np.ndarray,
     ind = np.nonzero(np.asarray(mst).ravel())[0]
     default_no_samples = len(ind)
 
+    diag_vcm = not (vcmt - np.diag(np.diagonal(vcmt))).any()
+
     while len(ind) >= pthresh:
         ifgv = obs[ind]
         B = span[:, ind]
-        vcm_temp = vcmt[ind, np.vstack(ind)]
 
-        # lower cholesky (stack.py:129, scipy cholesky(x, 1))
-        T = np.linalg.cholesky(vcm_temp)
-        A = np.linalg.solve(T, B.T)
-        b = np.linalg.solve(T, ifgv.T)
+        if diag_vcm:
+            # diagonal VCM fast path: all the cholesky/inv factorisations
+            # below reduce to elementwise scaling — O(n) instead of
+            # O(n^3), which is what makes hot keys (thousands of obs)
+            # feasible; identical math to the general branch
+            d = np.diagonal(vcmt)[ind]
+            sqd = np.sqrt(d)
+            A = (B.T / sqd[:, None])
+            b = ifgv / sqd
+            Q, R, _ = pivoted_qr(A)
+            z = Q.conj().T.dot(b)
+            v = np.linalg.solve(R, np.atleast_1d(z))
+            err2 = (B * (B / d)).sum()
+            err = np.array([np.sqrt(1.0 / err2)])
+            r = (B * v) - ifgv
+            wr = np.abs(r / sqd)
+        else:
+            vcm_temp = vcmt[ind, np.vstack(ind)]
+            # lower cholesky (stack.py:129, scipy cholesky(x, 1))
+            T = np.linalg.cholesky(vcm_temp)
+            A = np.linalg.solve(T, B.T)
+            b = np.linalg.solve(T, ifgv.T)
 
-        Q, R, _ = pivoted_qr(A)
-        z = Q.conj().T.dot(b)
-        v = np.linalg.solve(R, np.atleast_1d(z))
+            Q, R, _ = pivoted_qr(A)
+            z = Q.conj().T.dot(b)
+            v = np.linalg.solve(R, np.atleast_1d(z))
 
-        err1 = np.linalg.inv(vcm_temp).dot(B.conj().T)
-        err2 = B.dot(err1)
-        err = np.sqrt(np.diag(np.linalg.inv(err2)))
+            err1 = np.linalg.inv(vcm_temp).dot(B.conj().T)
+            err2 = B.dot(err1)
+            err = np.sqrt(np.diag(np.linalg.inv(err2)))
 
-        r = (B * v) - ifgv
-        w = np.linalg.cholesky(np.linalg.inv(vcm_temp))
-        wr = np.abs(np.dot(w, r.T))
+            r = (B * v) - ifgv
+            w = np.linalg.cholesky(np.linalg.inv(vcm_temp))
+            wr = np.abs(np.dot(w, r.T))
 
         max_val = wr.max()
         if max_val > nsig:

