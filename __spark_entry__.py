@@ -2,8 +2,11 @@
 
 ``entry(spark)`` runs the flagship pipeline at sf0.001; ``queries()``
 exposes one callable per implemented operator from SURVEY.md §2 (plus
-the training-data-pipeline suite); ``oracle_sql()`` gives the DuckDB
-twin for every SQL-expressible query. Numeric outputs are rounded
+the training-data-pipeline suite) — 39 queries, 33 with exact DuckDB
+oracles (the 6 rows-only ones are genuinely non-SQL: seeded-hash LSH
+bucketing, plane projections, data-dependent Gaussian windows, stubbed
+decode). ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible query. Numeric outputs are rounded
 identically on both sides (regression-scale values to 3dp, value-scale
 to 5dp, ratios to 6dp) and timestamps are emitted as unix-seconds
 bigints so hashing is robust to timezone/precision representation.
@@ -336,6 +339,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.sum(F.col("in_mst").cast("long")).alias("mst_edges"),
                      F.countDistinct("ts_first", "ts_second").alias("n_pairs")))
     q["mst_edge_count"] = q_mst_edge_count
+
+    # ---------------- correction stages (T15, A3/P10, G3, codec) -------
+    def q_orbital_detrend(spark, sf):
+        from pyrate_spark.operators.corrections import orbital_detrend
+        s = _events(spark, sf).where(F.col("value").isNotNull())
+        out = orbital_detrend(s, EngineConfig(), degree=1)
+        return out.select("url", _u("warc_ts").alias("ts_unix"),
+                          _nn(F.round("value", 4)).alias("value_detr"))
+    q["orbital_detrend"] = q_orbital_detrend
+
+    def q_ref_phase_subtract(spark, sf):
+        from pyrate_spark.operators.corrections import ref_phase_subtract
+        s = _events(spark, sf)
+        out = ref_phase_subtract(s, EngineConfig(), bucket="1 day")
+        return out.select("url", _u("warc_ts").alias("ts_unix"),
+                          F.round("value", 5).alias("value_centred"))
+    q["ref_phase_subtract"] = q_ref_phase_subtract
+
+    def q_closure_triangles(spark, sf):
+        from pyrate_spark.operators.corrections import closure_loop_counts
+        p = network_pairs(_events(spark, sf, nulls=False),
+                          max_span_days=30, max_pairs_per_epoch=2)
+        return closure_loop_counts(p, EngineConfig(salt_buckets=16),
+                                   loop_length=3)
+    q["closure_triangles"] = q_closure_triangles
+
+    def q_gorilla_roundtrip(spark, sf):
+        """Hourly tier THROUGH the Gorilla codec: encode per-url blocks,
+        decode, compare against the plain hourly oracle — proves the
+        tier payload round-trips bit-exactly inside the engine."""
+        from pyrate_spark.operators.tiersink import decode_tier, encode_tier
+        t = tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+        enc = encode_tier(t, "1 hour", EngineConfig(salt_buckets=16))
+        dec = decode_tier(enc)
+        return dec.select("url", _u("bucket_start").alias("bucket_unix"),
+                          _nn(F.round("value_avg", 5)).alias("value_avg"))
+    q["gorilla_roundtrip"] = q_gorilla_roundtrip
 
     # ---------------- dedup / text / similarity ----------------
     def q_dedup_exact(spark, sf):
@@ -693,6 +733,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.url, n.n_epochs - 1 AS mst_edges, count(*) AS n_pairs
         FROM pairs p JOIN nodes n ON p.url = n.url
         GROUP BY p.url, n.n_epochs
+    """
+
+    o["orbital_detrend"] = f"""
+        WITH s AS (SELECT url, warc_ts, value,
+                          (epoch(warc_ts)
+                           - min(epoch(warc_ts)) OVER (PARTITION BY url))
+                          / {YEAR_SECONDS} AS t
+                   FROM ({ev}) WHERE value IS NOT NULL),
+        r AS (SELECT url, regr_slope(value, t) sl,
+                     regr_intercept(value, t) ic
+              FROM s GROUP BY url)
+        SELECT s.url, CAST(epoch(s.warc_ts) AS BIGINT) AS ts_unix,
+               round(s.value - (r.ic + r.sl * s.t), 4) AS value_detr
+        FROM s JOIN r ON s.url = r.url
+    """
+
+    o["ref_phase_subtract"] = f"""
+        WITH e AS (SELECT url, warc_ts, value,
+                          CAST(epoch(warc_ts) AS BIGINT) // 86400 * 86400
+                              AS d
+                   FROM ({ev})),
+        m AS (SELECT d, median(value) med FROM e GROUP BY d)
+        SELECT e.url, CAST(epoch(e.warc_ts) AS BIGINT) AS ts_unix,
+               round(e.value - coalesce(m.med, 0) + 1e-20, 5)
+                   AS value_centred
+        FROM e JOIN m ON e.d = m.d
+    """
+
+    o["closure_triangles"] = f"""
+        WITH base AS (SELECT url, warc_ts
+                      FROM ({_events_sql(nulls=False)})),
+        j AS (SELECT a.url, a.warc_ts ts1, b.warc_ts ts2,
+                     row_number() OVER (PARTITION BY a.url, a.warc_ts
+                                        ORDER BY b.warc_ts) rk
+              FROM base a JOIN base b
+                ON a.url = b.url AND b.warc_ts > a.warc_ts
+               AND b.warc_ts <= a.warc_ts + INTERVAL 30 DAY),
+        p AS (SELECT DISTINCT url, ts1, ts2 FROM j WHERE rk <= 2),
+        tri AS (
+          SELECT p1.url, count(*) AS n
+          FROM p p1
+          JOIN p p2 ON p2.url = p1.url AND p2.ts1 = p1.ts2
+          JOIN p p3 ON p3.url = p1.url AND p3.ts1 = p1.ts1
+                   AND p3.ts2 = p2.ts2
+          GROUP BY p1.url),
+        urls AS (SELECT DISTINCT url FROM p)
+        SELECT u.url, coalesce(t.n, 0) AS n_loops
+        FROM urls u LEFT JOIN tri t ON u.url = t.url
+    """
+
+    o["gorilla_roundtrip"] = f"""
+        WITH h AS ({_HOURLY_SQL})
+        SELECT url, bucket_unix,
+               round({_thr.format(t=0.5)}, 5) AS value_avg
+        FROM h
     """
 
     # ---------------- documents ----------------

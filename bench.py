@@ -45,6 +45,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_URLS = int(os.environ.get("PYRATE_BENCH_URLS", "25000"))
 EPOCHS = int(os.environ.get("PYRATE_BENCH_EPOCHS", "48"))
+# comma-separated subset of query names to run (empty = all);
+# used by scripts/run_scaling.py to time only the scalable core
+ONLY = {s for s in os.environ.get("PYRATE_BENCH_ONLY", "").split(",") if s}
+
+
+def _want(name: str) -> bool:
+    return not ONLY or name in ONLY
 
 
 def main():
@@ -109,32 +116,37 @@ def main():
     series.unpersist()
 
     # ---- driver tables ----
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
-        F.col("user_id").cast("string").alias("url"),
-        F.date_trunc("second", "ts").alias("warc_ts"),
-        F.col("value"))
-    scfg = EngineConfig(nsig=3, pthr=3, velerror_nsig=1, salt_buckets=CPUS)
-    timed("events_stack",
-          lambda: stack_rate_per_url(sequential_pairs(ev), scfg,
-                                     use_mst=False).count())
+    if _want("events_stack"):
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            F.col("user_id").cast("string").alias("url"),
+            F.date_trunc("second", "ts").alias("warc_ts"),
+            F.col("value"))
+        scfg = EngineConfig(nsig=3, pthr=3, velerror_nsig=1,
+                            salt_buckets=CPUS)
+        timed("events_stack",
+              lambda: stack_rate_per_url(sequential_pairs(ev), scfg,
+                                         use_mst=False).count())
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    timed("dedup_minhash",
-          lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+    if _want("dedup_minhash"):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        timed("dedup_minhash",
+              lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
-        "vec_id", F.transform("embedding",
-                              lambda x: x.cast("double")).alias("embedding"),
-        "label")
-    timed("knn_bruteforce",
-          lambda: cosine_topk(emb, list(range(10)), k=5).count())
+    if _want("knn_bruteforce"):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", F.transform(
+                "embedding", lambda x: x.cast("double")).alias("embedding"),
+            "label")
+        timed("knn_bruteforce",
+              lambda: cosine_topk(emb, list(range(10)), k=5).count())
 
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    timed("pricing_summary", lambda: (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
-             F.count(F.lit(1))).count()))
+    if _want("pricing_summary"):
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        timed("pricing_summary", lambda: (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
+                 F.count(F.lit(1))).count()))
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -30,10 +30,9 @@ def epoch_spans(epoch_seconds: np.ndarray) -> np.ndarray:
 def epochs_from_pairs(first_s: np.ndarray, second_s: np.ndarray):
     """Sorted unique epochs + (ifirst, isecond) id vectors from pair
     timestamps (seconds). Analog of get_epochs + first_second_ids
-    (algorithm.py:191-237)."""
+    (algorithm.py:191-237). Fully vectorised (np.unique inverse) — no
+    per-element python; this runs once per key inside grouped kernels."""
+    n = len(first_s)
     all_e = np.concatenate([first_s, second_s])
-    dates = np.unique(all_e)
-    idx = {v: i for i, v in enumerate(dates.tolist())}
-    ifirst = np.array([idx[v] for v in np.asarray(first_s).tolist()], dtype=np.int64)
-    isecond = np.array([idx[v] for v in np.asarray(second_s).tolist()], dtype=np.int64)
-    return dates, epoch_spans(dates), ifirst, isecond
+    dates, inv = np.unique(all_e, return_inverse=True)
+    return dates, epoch_spans(dates), inv[:n], inv[n:]

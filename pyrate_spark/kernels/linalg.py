@@ -52,6 +52,44 @@ def pivoted_qr(a: np.ndarray, need_q: bool = True):
     return (Q[:, :kmin] if need_q else None), R[:kmin, :], piv
 
 
+def gram_pivot_order(a: np.ndarray) -> np.ndarray:
+    """Column-pivot order of a via pivoted Cholesky on the Gram matrix
+    G = a.T @ a — the same greedy rule as QR column pivoting (at step k
+    both pick the column with the largest residual norm; the Schur
+    complement diagonal of G IS that squared norm), at a fraction of
+    the memory traffic: the working set is the n x n Gram matrix (cache
+    resident for n ~ hundreds) instead of the m x n factor streamed
+    every iteration. Used by the rank-repair path where only the pivot
+    ORDER matters (the dependent-column set), not Q or R values.
+    """
+    G = np.asarray(a, dtype=np.float64)
+    G = G.T @ G
+    n = G.shape[0]
+    G = G.copy()
+    piv = np.arange(n)
+    L = np.zeros((n, n))
+    d = np.diagonal(G).copy()
+    for k in range(n):
+        j = int(np.argmax(d[k:])) + k
+        if j != k:
+            piv[[k, j]] = piv[[j, k]]
+            d[[k, j]] = d[[j, k]]
+            G[[k, j], :] = G[[j, k], :]
+            G[:, [k, j]] = G[:, [j, k]]
+            L[[k, j], :k] = L[[j, k], :k]
+        pivval = d[k]
+        if pivval <= 1e-300:
+            break    # residual space empty; remaining cols all dependent
+        lkk = np.sqrt(pivval)
+        L[k, k] = lkk
+        if k + 1 < n:
+            col = (G[k + 1:, k] - L[k + 1:, :k] @ L[k, :k]) / lkk
+            L[k + 1:, k] = col
+            d[k + 1:] -= col * col
+            np.maximum(d[k + 1:], 0.0, out=d[k + 1:])
+    return piv
+
+
 def linregress(t: np.ndarray, y: np.ndarray):
     """Closed-form simple linear regression matching
     ``scipy.stats.linregress`` (slope, intercept, rvalue, stderr).

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyrate_spark.kernels.linalg import pivoted_qr
+from pyrate_spark.kernels.linalg import gram_pivot_order, pivoted_qr
 
 
 def design_matrix(ifirst: np.ndarray, isecond: np.ndarray, span: np.ndarray,
@@ -29,29 +29,29 @@ def design_matrix(ifirst: np.ndarray, isecond: np.ndarray, span: np.ndarray,
     """b0_mat[nobs, nvelpar]; row i has span[ifirst:isecond] in its
     interval slots, sign-flipped when the pair is reversed
     (timeseries.py:69-75)."""
-    nobs = len(ifirst)
-    b0 = np.zeros((nobs, nvelpar), dtype=np.float64)
     lo = np.minimum(ifirst, isecond)
     hi = np.maximum(ifirst, isecond)
-    for i in range(nobs):
-        b0[i, lo[i]:hi[i]] = span[lo[i]:hi[i]]
-    rev = np.where(ifirst > isecond)[0]
+    cols = np.arange(nvelpar)
+    mask = (cols[None, :] >= lo[:, None]) & (cols[None, :] < hi[:, None])
+    b0 = mask * np.asarray(span, dtype=np.float64)[None, :]
+    rev = ifirst > isecond
     b0[rev, :] = -b0[rev, :]
     return b0
 
 
-def _full_rank_fast_check(ifirst, isecond, nvelpar) -> bool:
-    """O(E) proof that the selected design matrix has no removable
-    rank deficiency, letting hot keys skip the O(m*n^2) pivoted-QR
-    repair loop entirely.
+def _rank_structure(ifirst, isecond, nvelpar):
+    """O(E) incidence analysis of the selected design matrix.
 
     The SBAS design matrix is an epoch-difference incidence structure:
-    obs (lo, hi) = prefix(hi) - prefix(lo). Its rank is
-    (#epochs appearing in obs) - (#connected components); removable
+    obs (lo, hi) = prefix(hi) - prefix(lo), column-scaled by the
+    (positive) interval spans. Hence its rank is EXACTLY
+    (#epochs appearing in obs) - (#connected components) — the graph
+    rank, unaffected by positive diagonal column scaling. Removable
     deficiency exists iff the number of *covered interval columns*
-    exceeds that rank. Equality (cover == epochs - components) means
-    every covered column is resolvable and the reference's repair loop
+    exceeds that rank; equality means the reference's repair loop
     (timeseries.py:160-199) would remove nothing.
+
+    Returns (covered_columns, structural_rank, full_rank: bool).
     """
     lo = np.minimum(ifirst, isecond)
     hi = np.maximum(ifirst, isecond)
@@ -60,32 +60,40 @@ def _full_rank_fast_check(ifirst, isecond, nvelpar) -> bool:
     np.add.at(cover, lo, 1)
     np.add.at(cover, hi, -1)
     covered = int(np.count_nonzero(np.cumsum(cover)[:nvelpar] > 0))
-    # connected components among epochs that appear
-    parent = {}
+    # connected components among epochs that appear: array union-find
+    # over the dense epoch-id space (no dict/set allocation churn)
+    parent = np.arange(nvelpar + 1, dtype=np.int64)
 
     def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
 
-    comps = 0
-    nodes = set()
     for a, b in zip(lo.tolist(), hi.tolist()):
-        nodes.add(a)
-        nodes.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[rb] = ra
-    comps = len({find(n) for n in nodes})
-    return covered == len(nodes) - comps
+    appears = np.zeros(nvelpar + 1, dtype=bool)
+    appears[lo] = True
+    appears[hi] = True
+    nodes = np.flatnonzero(appears)
+    comps = len({find(int(n)) for n in nodes})
+    rank = len(nodes) - comps
+    return covered, rank, covered == rank
 
 
-def _remove_rank_def_rows(b_mat, nvelpar, ifgv, sel):
-    """timeseries.py:160-170 verbatim semantics (scipy qr -> pivoted_qr;
-    Q never used, so skip its accumulation)."""
-    _, _, e_var = pivoted_qr(b_mat, need_q=False)
-    rank = np.linalg.matrix_rank(b_mat)
+def _remove_rank_def_rows(b_mat, nvelpar, ifgv, sel, rank):
+    """timeseries.py:160-170 semantics. Differences from the reference
+    mechanics (results equivalent, cited where they matter):
+    - pivot order from Gram pivoted Cholesky (same greedy
+      max-residual-norm rule as QR column pivoting, cache-resident);
+    - rank passed in from the exact structural computation
+      (_rank_structure) instead of an SVD matrix_rank — identical for
+      these incidence-structured matrices."""
+    e_var = gram_pivot_order(b_mat)
     licols = e_var[rank:nvelpar]
     rmrow, _ = np.where(b_mat[:, licols] != 0)
     rmrow = np.unique(rmrow)
@@ -193,13 +201,16 @@ def time_series_pixel(phase: np.ndarray, ifirst: np.ndarray,
         isecond_a = np.asarray(isecond)
         # the O(E) incidence check replaces the reference's extra
         # confirmation QR: loop only while removable deficiency exists
-        # (each QR pass is guaranteed to remove at least one row then)
-        while not _full_rank_fast_check(ifirst_a[sel], isecond_a[sel],
-                                        nvelpar):
+        # (each removal pass is guaranteed to drop at least one row then)
+        while True:
+            _, rank, full = _rank_structure(ifirst_a[sel],
+                                            isecond_a[sel], nvelpar)
+            if full:
+                break
             if b_mat.shape[0] <= 1:
                 return nanvec, nanvec.copy(), nanvec.copy()
             b_mat, ifgv, sel, rmrow = _remove_rank_def_rows(
-                b_mat, nvelpar, ifgv, sel)
+                b_mat, nvelpar, ifgv, sel, rank)
             if len(rmrow) == 0:     # defensive: no progress -> bail
                 break
         if b_mat.shape[0] <= 1:

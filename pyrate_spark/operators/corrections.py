@@ -1,0 +1,263 @@
+"""Correction stages — the graft of the reference's `correct` step
+operators onto per-url web series. Each is a DataFrame -> DataFrame
+transformation on the series (url, warc_ts, value, ...), idempotent
+by construction, gated and ordered by the pipeline registry
+(pyrate_spark.plans.pipeline; reference registry correct.py:197-205).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pyrate_spark.config import EngineConfig, DEFAULT
+from pyrate_spark.kernels.epochs import SECONDS_PER_YEAR
+
+
+EPSILON = 1e-20   # ref_phs_est.py:169-184 — keeps exact-0 values from
+                  # being re-read as nodata downstream
+
+
+def ref_phase_subtract(series: DataFrame, cfg: EngineConfig = DEFAULT,
+                       ref_urls: DataFrame | None = None,
+                       bucket: str = "1 day") -> DataFrame:
+    """A3/A4 analog (ref_phs_est.py:98-166): subtract, per crawl batch
+    (time bucket), the median value over a reference cohort of urls
+    (default: all urls — the reference's method 1 uses all valid
+    pixels). The epsilon shim is applied exactly as the reference does.
+    One aggregation + one broadcast join — no per-key work."""
+    src = series
+    if ref_urls is not None:
+        cohort = series.join(F.broadcast(ref_urls), "url", "left_semi")
+    else:
+        cohort = series
+    med = (cohort
+           .groupBy(F.window("warc_ts", bucket).alias("w"))
+           .agg(F.median("value").alias("_ref_med"))
+           .select(F.col("w.start").alias("_wstart"), "_ref_med"))
+    win = F.window("warc_ts", bucket)
+    return (src.withColumn("_wstart", win["start"])
+            .join(F.broadcast(med), "_wstart", "left")
+            .withColumn("value",
+                        F.col("value") - F.coalesce("_ref_med", F.lit(0.0))
+                        + F.lit(EPSILON))
+            .drop("_wstart", "_ref_med"))
+
+
+def orbital_detrend(series: DataFrame, cfg: EngineConfig = DEFAULT,
+                    degree: int = 1) -> DataFrame:
+    """T15 analog (orbital.py:205-300): remove a systematic per-key
+    trend — the reference fits a polynomial surface per observation
+    layer and subtracts the forward model; per key the same shape is a
+    polynomial in time fitted by least squares and subtracted, leaving
+    the residual signal. degree 0 = offset (the reference's
+    `offset` re-levelling, orbital.py:284-291), degree 1 = linear ramp.
+
+    Pure column algebra: closed-form OLS via per-key moment aggregates
+    (one shuffle), no UDF.
+    """
+    w = Window.partitionBy("url")
+    t = ((F.unix_timestamp("warc_ts")
+          - F.unix_timestamp(F.min("warc_ts").over(w))).cast("double")
+         / F.lit(SECONDS_PER_YEAR))
+    df = series.withColumn("_t", t)
+    if degree == 0:
+        med = F.expr("median(value)").over(w)
+        return (df.withColumn("value", F.col("value") - med)
+                .drop("_t"))
+    n = F.count("value").over(w)
+    tm = F.avg(F.when(F.col("value").isNotNull(), F.col("_t"))).over(w)
+    ym = F.avg("value").over(w)
+    sxy = F.avg(F.when(F.col("value").isNotNull(),
+                       F.col("_t") * F.col("value"))).over(w)
+    sxx = F.avg(F.when(F.col("value").isNotNull(),
+                       F.col("_t") * F.col("_t"))).over(w)
+    slope = (sxy - tm * ym) / (sxx - tm * tm)
+    icept = ym - slope * tm
+    return (df.withColumn(
+        "value",
+        F.col("value") - (icept + slope * F.col("_t"))).drop("_t"))
+
+
+def aps_temporal_filter(series: DataFrame,
+                        cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """T11/T13 analog (aps.py:322-397): replace value by its temporal
+    high-pass component (subtract the Gaussian low-pass), per url."""
+    from pyrate_spark.operators.grouped import temporal_highpass_per_url
+    hp = temporal_highpass_per_url(series, cfg).select(
+        "url", F.col("epoch_ts").alias("warc_ts"),
+        F.col("value_hp").alias("_hp"))
+    return (series.join(hp, ["url", "warc_ts"], "left")
+            .withColumn("value", F.col("_hp")).drop("_hp"))
+
+
+def maxvar_column(series: DataFrame,
+                  cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """A11-lite (covariance.py:312-343 wrapper): per-url variance
+    estimate attached as a column — the graft's maxvar, consumed by the
+    VCM build inside the inversion kernels."""
+    v = series.groupBy("url").agg(
+        F.var_samp("value").alias("maxvar"))
+    return series.join(v, "url", "left")
+
+
+def closure_mask(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
+                 n_buckets: int | None = None) -> DataFrame:
+    """G3-G6 + A8 + P5: enumerate closed loops per key, sum signed
+    deltas around each loop, count breaches per observation, and NULL
+    the delta of observations whose breach count equals their loop
+    participation count (closure_check.py:32-53) — the graft of
+    closure-based outlier masking.
+
+    Grouped-map kernel (loops are per-key graph work); emits the pairs
+    frame with `delta_value` masked and breach bookkeeping columns.
+    """
+    import pandas as pd
+    import numpy as np
+    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.kernels.closure import (closed_loops,
+                                              discard_loops_containing_max_ifg_count,
+                                              sum_closure)
+    max_len = cfg.max_loop_length
+    max_red = cfg.max_loop_redundancy
+    thr = cfg.closure_thr
+
+    schema = ("url string, ts_first timestamp, ts_second timestamp, "
+              "delta_value double, time_span double, nan_fraction double, "
+              "n_loops int, n_breach int")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyrate_spark.operators.udf_kernels import (group_slices,
+                                                        ts_seconds)
+        first_all = ts_seconds(pdf["ts_first"])
+        second_all = ts_seconds(pdf["ts_second"])
+        vals = pdf["delta_value"].to_numpy(dtype=np.float64)
+        n_loops = np.zeros(len(pdf), dtype=np.int32)
+        n_breach = np.zeros(len(pdf), dtype=np.int32)
+        masked = vals.copy()
+        for url, idx in group_slices(pdf):
+            sub = np.lexsort((second_all[idx], first_all[idx]))
+            idx = idx[sub]
+            fs = first_all[idx].tolist()
+            ss = second_all[idx].tolist()
+            loops = closed_loops(fs, ss, max_loop_length=max_len)
+            loops = discard_loops_containing_max_ifg_count(loops, max_red)
+            if not loops:
+                continue
+            pair_pos = {}
+            for j, (a, b) in enumerate(zip(fs, ss)):
+                pair_pos.setdefault((a, b), j)
+            values = {(a, b): vals[idx[pair_pos[(a, b)]]]
+                      for (a, b) in pair_pos}
+            for loop in loops:
+                closure, breach = sum_closure(loop, values,
+                                              subtract_median=False,
+                                              thr=thr)
+                for e in loop.edges:
+                    j = idx[pair_pos[(e.first, e.second)]]
+                    n_loops[j] += 1
+                    if breach:
+                        n_breach[j] += 1
+            # P5: mask obs breaching in EVERY loop they participate in
+            for (a, b), p in pair_pos.items():
+                j = idx[p]
+                if n_loops[j] > 0 and n_breach[j] == n_loops[j]:
+                    masked[j] = np.nan
+        out = pdf[["url", "ts_first", "ts_second", "time_span",
+                   "nan_fraction"]].copy()
+        out["delta_value"] = masked
+        out["n_loops"] = n_loops
+        out["n_breach"] = n_breach
+        return out[["url", "ts_first", "ts_second", "delta_value",
+                    "time_span", "nan_fraction", "n_loops", "n_breach"]]
+
+    nb = n_buckets or cfg.salt_buckets
+    return (_bucketed(pairs, "url", nb, detect_hot=False)
+            .groupBy("_bucket").applyInPandas(fn, schema))
+
+
+def closure_loop_counts(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
+                        loop_length: int = 3,
+                        n_buckets: int | None = None) -> DataFrame:
+    """G3 head-count: number of deduped simple cycles of exactly
+    ``loop_length`` per key (collect_loops.py:59-121 + dedupe). For
+    loop_length=3 this equals the triangle count of the epoch graph —
+    SQL-verifiable by a 3-way self-join."""
+    import pandas as pd
+    import numpy as np
+    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.kernels.closure import dedupe_loops, find_loops
+
+    schema = "url string, n_loops long"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyrate_spark.operators.udf_kernels import (group_slices,
+                                                        ts_seconds)
+        first_all = ts_seconds(pdf["ts_first"])
+        second_all = ts_seconds(pdf["ts_second"])
+        rows = []
+        for url, idx in group_slices(pdf):
+            fs, ss = first_all[idx], second_all[idx]
+            nodes = np.unique(np.concatenate([fs, ss]))
+            nid = {int(v): i for i, v in enumerate(nodes.tolist())}
+            g = np.zeros((len(nodes), len(nodes)), dtype=np.int8)
+            for a, b in zip(fs.tolist(), ss.tolist()):
+                g[nid[a], nid[b]] = 1
+                g[nid[b], nid[a]] = 1
+            if len(nodes) < loop_length:
+                rows.append((url, 0))
+                continue
+            _, loops = find_loops(g, loop_length)
+            rows.append((url, len(dedupe_loops(loops))))
+        return pd.DataFrame(rows, columns=["url", "n_loops"])
+
+    nb = n_buckets or cfg.salt_buckets
+    return (_bucketed(pairs, "url", nb, detect_hot=False)
+            .groupBy("_bucket").applyInPandas(fn, schema))
+
+
+def dem_error_analog(series: DataFrame, cfg: EngineConfig = DEFAULT,
+                     aux_col: str = "aux",
+                     n_buckets: int | None = None) -> DataFrame:
+    """T14 analog (dem_error.py:169-256): per key, co-estimate a
+    nuisance regressor alongside the trend — A = [1, t, aux], solve by
+    least squares, report the aux coefficient and emit the corrected
+    value (value - coef*aux). In the web graft the natural nuisance is
+    a per-snapshot covariate such as page size. Gate: de_pthr >= 4
+    valid obs (dem_error.py:200)."""
+    import pandas as pd
+    import numpy as np
+    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.operators.udf_kernels import group_slices, ts_seconds
+
+    schema = ("url string, warc_ts timestamp, value double, "
+              "aux_coef double")
+    de_pthr = 4
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts_all = ts_seconds(pdf["warc_ts"])
+        v_all = pdf["value"].to_numpy(dtype=np.float64)
+        x_all = pdf[aux_col].to_numpy(dtype=np.float64)
+        out_val = v_all.copy()
+        out_coef = np.full(len(pdf), np.nan)
+        for url, idx in group_slices(pdf):
+            order = np.argsort(ts_all[idx], kind="stable")
+            idx = idx[order]
+            t = (ts_all[idx] - ts_all[idx][0]) / SECONDS_PER_YEAR
+            y = v_all[idx]
+            x = x_all[idx]
+            ok = np.isfinite(y) & np.isfinite(x)
+            if ok.sum() < de_pthr:
+                continue
+            A = np.column_stack([np.ones(ok.sum()), t[ok], x[ok]])
+            coef = np.linalg.lstsq(A, y[ok], rcond=None)[0]
+            out_coef[idx] = coef[2]
+            out_val[idx] = y - coef[2] * x       # dem_error.py:246-251
+        out = pdf[["url", "warc_ts"]].copy()
+        out["value"] = out_val
+        out["aux_coef"] = out_coef
+        return out
+
+    nb = n_buckets or cfg.salt_buckets
+    src = series
+    return (_bucketed(src, "url", nb, detect_hot=False)
+            .groupBy("_bucket").applyInPandas(fn, schema))

@@ -1,0 +1,81 @@
+"""Tier sink: Gorilla-encoded per-url blocks (BASELINE.json: "Gorilla
+XOR + delta-of-delta encoded tier storage").
+
+Encode: one grouped-map pass per tier — each url's (bucket_start,
+value) series becomes a single BinaryType block plus size/lineage
+columns; blocks land in parquet (Iceberg table in production), giving
+~10-20x smaller tier payloads for slowly-changing web metrics on top
+of parquet's own page compression.
+
+Decode is the exact inverse (bit-exact float64 round-trip incl. NaN
+patterns — tests/test_gorilla.py), exposed both as a grouped-map
+(block -> rows) and used by the round-trip test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from pyrate_spark.config import EngineConfig, DEFAULT
+
+ENC_SCHEMA = ("url string, tier string, n_points int, bytes_raw long, "
+              "bytes_encoded long, block binary")
+
+DEC_SCHEMA = "url string, bucket_start timestamp, value_avg double"
+
+
+def encode_tier(tier_df: DataFrame, tier_name: str = "1 hour",
+                cfg: EngineConfig = DEFAULT,
+                value_col: str = "value_avg",
+                ts_col: str = "bucket_start") -> DataFrame:
+    """(url, bucket_start, value_avg, ...) -> one encoded block per url."""
+    from pyrate_spark.operators.grouped import _bucketed
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyrate_spark.kernels.gorilla import encode_block
+        from pyrate_spark.operators.udf_kernels import group_slices, ts_seconds
+        ts_all = ts_seconds(pdf[ts_col])
+        v_all = pdf[value_col].to_numpy(dtype=np.float64)
+        rows = []
+        for url, idx in group_slices(pdf):
+            order = np.argsort(ts_all[idx], kind="stable")
+            ts = ts_all[idx][order]
+            vals = v_all[idx][order]
+            blk = encode_block(ts, vals)
+            rows.append((url, tier_name, len(ts), int(len(ts) * 16),
+                         len(blk), bytearray(blk)))
+        return pd.DataFrame(rows, columns=["url", "tier", "n_points",
+                                           "bytes_raw", "bytes_encoded",
+                                           "block"])
+
+    return (_bucketed(tier_df, "url", cfg.salt_buckets, detect_hot=False)
+            .groupBy("_bucket").applyInPandas(fn, ENC_SCHEMA))
+
+
+def decode_tier(encoded: DataFrame) -> DataFrame:
+    """Encoded blocks -> long-form tier rows (exact inverse)."""
+
+    def fn(it):
+        from pyrate_spark.kernels.gorilla import decode_block
+        for pdf in it:
+            urls, tss, vals = [], [], []
+            for url, blk in zip(pdf["url"], pdf["block"]):
+                ts, v = decode_block(bytes(blk))
+                urls.append(np.repeat(url, len(ts)))
+                tss.append(ts)
+                vals.append(v)
+            if not urls:
+                yield pd.DataFrame({
+                    "url": pd.Series(dtype=object),
+                    "bucket_start": pd.Series(dtype="datetime64[ns]"),
+                    "value_avg": pd.Series(dtype=np.float64)})
+                continue
+            yield pd.DataFrame({
+                "url": np.concatenate(urls),
+                "bucket_start":
+                    np.concatenate(tss).astype("datetime64[s]"),
+                "value_avg": np.concatenate(vals)})
+
+    return encoded.mapInPandas(fn, DEC_SCHEMA)

@@ -77,7 +77,10 @@ def _sorted_key_rows(first_all, second_all, idx):
 def make_timeseries_fn(method: int, pthr: int, smorder: int,
                        smfactor: float, use_mst: bool, vcm_mode: str):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
+        # accumulate raw numpy chunks; ONE DataFrame per bucket at the
+        # end (per-key pd.DataFrame + pd.concat was the dominant
+        # allocation churn under 32 concurrent workers)
+        urls, eids, etss, vels, incrs, cumls = [], [], [], [], [], []
         first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
         for url, idx in group_slices(pdf):
             idx = _sorted_key_rows(first_all, second_all, idx)
@@ -105,18 +108,18 @@ def make_timeseries_fn(method: int, pthr: int, smorder: int,
                 nv = len(dates) - 1
                 tsincr = tscuml = np.full(nv, np.nan, dtype=np.float32)
             span_d = np.diff(spans).astype(np.float32)
-            tsvel = np.where(span_d != 0, tsincr / span_d, np.nan)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tsvel = np.where(span_d != 0, tsincr / span_d, np.nan)
             # zero epoch emitted too: np.insert(tscuml, 0, 0) analog
             # (timeseries.py:429)
-            outs.append(pd.DataFrame({
-                "url": url,
-                "epoch_id": np.arange(0, len(dates), dtype=np.int32),
-                "epoch_ts": pd.to_datetime(dates, unit="s"),
-                "tsvel": np.concatenate(([np.nan], tsvel)).astype(np.float32),
-                "tsincr": np.concatenate(([np.nan], tsincr)).astype(np.float32),
-                "tscuml": np.concatenate(([0.0], tscuml)).astype(np.float32),
-            }))
-        if not outs:
+            nepoch = len(dates)
+            urls.append(np.repeat(url, nepoch))
+            eids.append(np.arange(nepoch, dtype=np.int32))
+            etss.append(dates)
+            vels.append(np.concatenate(([np.nan], tsvel)))
+            incrs.append(np.concatenate(([np.nan], tsincr)))
+            cumls.append(np.concatenate(([0.0], tscuml)))
+        if not urls:
             return pd.DataFrame({
                 "url": pd.Series(dtype=object),
                 "epoch_id": pd.Series(dtype=np.int32),
@@ -124,7 +127,14 @@ def make_timeseries_fn(method: int, pthr: int, smorder: int,
                 "tsvel": pd.Series(dtype=np.float32),
                 "tsincr": pd.Series(dtype=np.float32),
                 "tscuml": pd.Series(dtype=np.float32)})
-        return pd.concat(outs, ignore_index=True)
+        return pd.DataFrame({
+            "url": np.concatenate(urls),
+            "epoch_id": np.concatenate(eids),
+            "epoch_ts": np.concatenate(etss).astype("datetime64[s]"),
+            "tsvel": np.concatenate(vels).astype(np.float32),
+            "tsincr": np.concatenate(incrs).astype(np.float32),
+            "tscuml": np.concatenate(cumls).astype(np.float32),
+        })
     return fn
 
 
@@ -190,7 +200,7 @@ def make_linear_rate_fn(err_scale: float, value_col: str, ts_col: str):
 def make_temporal_hp_fn(cutoff_days: int, pthr: int, value_col: str,
                         ts_col: str):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
+        urls, tss, hps, lps = [], [], [], []
         ts_all = ts_seconds(pdf[ts_col])
         v_all = pdf[value_col].to_numpy(dtype=np.float64)
         for url, idx in group_slices(pdf):
@@ -202,17 +212,21 @@ def make_temporal_hp_fn(cutoff_days: int, pthr: int, value_col: str,
                 (spans, [spans[-1] + (spans[-1] - spans[-2]
                                       if len(spans) > 1 else 1.0)]))
             hp, lp = temporal_high_pass(v, spans_full, cutoff_days, pthr)
-            outs.append(pd.DataFrame({
-                "url": url,
-                "epoch_ts": pd.to_datetime(t, unit="s"),
-                "value_hp": hp, "value_lp": lp}))
-        if not outs:
+            urls.append(np.repeat(url, len(t)))
+            tss.append(t)
+            hps.append(hp)
+            lps.append(lp)
+        if not urls:
             return pd.DataFrame({
                 "url": pd.Series(dtype=object),
                 "epoch_ts": pd.Series(dtype="datetime64[ns]"),
                 "value_hp": pd.Series(dtype=np.float64),
                 "value_lp": pd.Series(dtype=np.float64)})
-        return pd.concat(outs, ignore_index=True)
+        return pd.DataFrame({
+            "url": np.concatenate(urls),
+            "epoch_ts": np.concatenate(tss).astype("datetime64[s]"),
+            "value_hp": np.concatenate(hps),
+            "value_lp": np.concatenate(lps).astype(np.float64)})
     return fn
 
 

@@ -39,6 +39,9 @@ def get_session(app_name: str = "pyrate-spark",
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or (cpus or 32)))
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("PYRATE_SPARK_WAREHOUSE",
+                               "/tmp/pyrate-spark-warehouse"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("PYRATE_SPARK_DRIVER_MEM", "12g"))

@@ -1,0 +1,72 @@
+"""Streaming continuous aggregates: tier maintenance as a Structured
+Streaming job.
+
+The reference recomputes products from scratch per run (batch);
+the graft maintains tiers incrementally: ``readStream`` over the pages
+source -> watermarked tumbling-window aggregation with EXACTLY the
+batch tier_rollup semantics (same expressions: mean + null-fraction +
+count, NULL iff null_fraction >= thresh) -> append-mode sink. Late
+crawl records (out-of-order warc_ts) within the watermark update their
+bucket before it finalises; beyond it they are dropped — the
+documented trade against unbounded state.
+
+State/checkpoint lives in the streaming checkpoint dir; restarting the
+query resumes from it (the streaming twin of plans/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      schema: str = PAGES_SCHEMA) -> DataFrame:
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "32")
+            .parquet(path))
+
+
+def streaming_tier_rollup(pages_stream: DataFrame, tier: str = "1 hour",
+                          thresh: float = 0.5,
+                          watermark: str = "2 hours",
+                          value_expr=None) -> DataFrame:
+    """Streaming twin of operators.rollup.tier_rollup (same output
+    schema); watermark bounds state for late data."""
+    from pyrate_spark.operators.extract import extract_series
+    series = extract_series(pages_stream, value_expr)
+    win = F.window("warc_ts", tier)
+    agg = (series
+           .withWatermark("warc_ts", watermark)
+           .groupBy("url", win.alias("w"))
+           .agg(F.avg("value").alias("_avg"),
+                F.avg(F.when(F.col("value").isNull(), 1.0)
+                       .otherwise(0.0)).alias("null_fraction"),
+                F.count(F.lit(1)).alias("n_obs")))
+    keep = (F.col("null_fraction") < F.lit(thresh)) | \
+           ((F.col("null_fraction") == 0.0) & (F.lit(thresh) == 0.0))
+    return agg.select(
+        "url",
+        F.col("w.start").alias("bucket_start"),
+        F.when(keep, F.col("_avg")).otherwise(F.lit(None)).alias("value_avg"),
+        "null_fraction",
+        "n_obs")
+
+
+def run_tier_maintenance(pages_stream: DataFrame, out_path: str,
+                         checkpoint_path: str, tier: str = "1 hour",
+                         thresh: float = 0.5, watermark: str = "2 hours"):
+    """One availableNow maintenance pass: process everything currently
+    in the source, append finalised buckets to the tier table, keep
+    watermark/window state in the checkpoint for the next pass. Returns
+    the StreamingQuery (caller awaits termination)."""
+    tiers = streaming_tier_rollup(pages_stream, tier, thresh, watermark)
+    return (tiers.writeStream
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,95 @@
+"""Kill-and-resume (FIXTURES.md F5): a run stopped mid-way and resumed
+must produce output identical to a single uninterrupted run, with
+manifests carrying lineage + metrics."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrate_spark.datagen import generate_pages
+from pyrate_spark.operators.extract import extract_series
+from pyrate_spark.operators.rollup import tier_rollup
+from pyrate_spark.plans.checkpoint import (checkpointed_run,
+                                           completed_buckets, read_result)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    return extract_series(
+        generate_pages(spark, n_urls=60, epochs_per_url=30, null_pct=10,
+                       seed=5)).persist()
+
+
+def transform(df):
+    return tier_rollup(df, "1 hour", thresh=0.5)
+
+
+def _sorted(df):
+    return df.orderBy("url", "bucket_start").toPandas()
+
+
+def test_kill_and_resume_equals_single_shot(spark, series, tmp_path):
+    full_dir = str(tmp_path / "full")
+    kill_dir = str(tmp_path / "killed")
+
+    n_full = checkpointed_run(series, full_dir, transform,
+                              n_buckets=16, batches=4, params_hash="h1")
+    assert n_full == 16
+
+    # simulate a kill after 2 of 4 batches
+    n1 = checkpointed_run(series, kill_dir, transform,
+                          n_buckets=16, batches=4, params_hash="h1",
+                          max_batches=2)
+    assert 0 < n1 < 16
+    done_mid = completed_buckets(kill_dir, "h1")
+    assert len(done_mid) == n1
+
+    # resume: only the remaining buckets run
+    n2 = checkpointed_run(series, kill_dir, transform,
+                          n_buckets=16, batches=4, params_hash="h1")
+    assert n1 + n2 == 16
+
+    a = _sorted(read_result(spark, full_dir))
+    b = _sorted(read_result(spark, kill_dir))
+    assert a.equals(b)
+
+
+def test_noop_when_complete(spark, series, tmp_path):
+    out = str(tmp_path / "o")
+    assert checkpointed_run(series, out, transform, n_buckets=8,
+                            params_hash="h2") == 8
+    assert checkpointed_run(series, out, transform, n_buckets=8,
+                            params_hash="h2") == 0
+
+
+def test_param_change_reprocesses(spark, series, tmp_path):
+    out = str(tmp_path / "o2")
+    checkpointed_run(series, out, transform, n_buckets=8, params_hash="a")
+    assert checkpointed_run(series, out, transform, n_buckets=8,
+                            params_hash="b") == 8
+
+
+def test_input_change_reprocesses_changed_buckets(spark, series, tmp_path):
+    out = str(tmp_path / "o3")
+    checkpointed_run(series, out, transform, n_buckets=8, params_hash="a")
+    changed = series.withColumn(
+        "value", F.when(F.col("url").endswith("1"),
+                        F.col("value") * 2).otherwise(F.col("value")))
+    n = checkpointed_run(changed, out, transform, n_buckets=8,
+                         params_hash="a")
+    assert 0 < n <= 8       # only buckets whose fingerprint moved
+
+
+def test_manifest_carries_lineage_and_metrics(spark, series, tmp_path):
+    out = str(tmp_path / "o4")
+    checkpointed_run(series, out, transform, n_buckets=4, params_hash="h")
+    rows = completed_buckets(out, "h")
+    assert len(rows) == 4
+    row = next(iter(rows.values()))
+    for key in ("fingerprint", "rows_in", "rows_out", "wall_sec",
+                "metric_min", "metric_max", "metric_null_fraction",
+                "committed_at"):
+        assert key in row, key
+    assert row["rows_out"] > 0

@@ -1,0 +1,136 @@
+"""Correction stages + orderable pipeline + Gorilla tier sink."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyrate_spark.config import EngineConfig
+from pyrate_spark.operators.corrections import (aps_temporal_filter,
+                                                closure_mask,
+                                                dem_error_analog,
+                                                maxvar_column,
+                                                orbital_detrend,
+                                                ref_phase_subtract, EPSILON)
+from pyrate_spark.operators.tiersink import decode_tier, encode_tier
+from pyrate_spark.plans.pipeline import run_correct, validate_order
+
+BASE = dt.datetime(2024, 1, 1)
+CFG = EngineConfig(salt_buckets=8, tlpf_cutoff_days=7, tlpf_pthr=1)
+
+
+def _series(spark, vals):
+    rows = [(u, BASE + dt.timedelta(hours=6 * k), float(v))
+            for u, series in vals.items() for k, v in enumerate(series)]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double")
+
+
+def test_ref_phase_subtract_removes_batch_bias(spark):
+    # every url shifted by the same per-day bias: the per-bucket median
+    # subtraction must recover bias-free values (+ epsilon shim)
+    s = _series(spark, {"a": [10, 10, 10, 10], "b": [20, 20, 20, 20],
+                        "c": [30, 30, 30, 30]})
+    out = ref_phase_subtract(s, CFG, bucket="1 day").toPandas()
+    # per-bucket median is url b's 20 -> a=-10, b=0, c=+10
+    got = sorted(round(v - EPSILON, 9) for v in out["value"])
+    assert got == [-10.0] * 4 + [0.0] * 4 + [10.0] * 4
+
+
+def test_orbital_detrend_removes_linear_ramp(spark):
+    t = np.arange(12)
+    s = _series(spark, {"a": 5.0 * t + 3.0, "b": -2.0 * t + 1.0})
+    out = orbital_detrend(s, CFG, degree=1).toPandas()
+    np.testing.assert_allclose(out["value"].to_numpy(), 0.0, atol=1e-9)
+    out0 = orbital_detrend(s, CFG, degree=0).toPandas()
+    # offset removal only: median-centred, slope remains
+    assert abs(out0["value"].to_numpy().mean()) < 30
+
+
+def test_aps_filter_removes_constant(spark):
+    s = _series(spark, {"a": [7.0] * 10})
+    out = aps_temporal_filter(s, CFG).toPandas()
+    np.testing.assert_allclose(out["value"].to_numpy(), 0.0, atol=1e-9)
+
+
+def test_maxvar_column(spark):
+    s = _series(spark, {"a": [1.0, 2, 3, 4], "b": [5.0, 5, 5, 5]})
+    out = maxvar_column(s, CFG).toPandas()
+    a = out[out.url == "a"]["maxvar"].iloc[0]
+    b = out[out.url == "b"]["maxvar"].iloc[0]
+    assert a == pytest.approx(np.var([1, 2, 3, 4], ddof=1))
+    assert b == pytest.approx(0.0)
+
+
+def test_pipeline_order_and_validation(spark):
+    s = _series(spark, {"a": np.arange(8.0)})
+    out = run_correct(s, CFG, order=("orbfit", "refphase"))
+    assert out.count() == 8
+    with pytest.raises(ValueError, match="unknown"):
+        validate_order(["orbfit", "nope"])
+
+
+def test_closure_mask(spark):
+    # triangle network per url; url 'bad' has one corrupted edge
+    def tri(url, corrupt):
+        t0, t1, t2 = (BASE, BASE + dt.timedelta(days=10),
+                      BASE + dt.timedelta(days=20))
+        d01, d12 = 1.0, 2.0
+        d02 = 3.0 + (10.0 if corrupt else 0.0)
+        return [(url, t0, t1, d01, 10 / 365.25, 0.0),
+                (url, t1, t2, d12, 10 / 365.25, 0.0),
+                (url, t0, t2, d02, 20 / 365.25, 0.0)]
+
+    pairs = spark.createDataFrame(
+        tri("ok", False) + tri("bad", True),
+        "url string, ts_first timestamp, ts_second timestamp, "
+        "delta_value double, time_span double, nan_fraction double")
+    cfg = EngineConfig(salt_buckets=4, max_loop_length=3,
+                       closure_thr=0.5)
+    out = closure_mask(pairs, cfg).toPandas()
+    ok = out[out.url == "ok"]
+    bad = out[out.url == "bad"]
+    assert (ok["n_loops"] == 1).all() and (ok["n_breach"] == 0).all()
+    assert (bad["n_breach"] == 1).all()
+    # P5: every obs of 'bad' breaches in all its loops -> masked
+    assert bad["delta_value"].isna().all()
+    assert not ok["delta_value"].isna().any()
+
+
+def test_dem_error_analog_recovers_aux_coef(spark):
+    rng = np.random.RandomState(0)
+    rows = []
+    for u, coef in (("a", 2.5), ("b", -1.0)):
+        aux = rng.rand(10) * 100
+        t = np.arange(10) * 0.01
+        val = 3.0 + 4.0 * t + coef * aux
+        for k in range(10):
+            rows.append((u, BASE + dt.timedelta(days=4 * k),
+                         float(val[k]), float(aux[k])))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double, aux double")
+    out = dem_error_analog(df, CFG).toPandas()
+    for u, coef in (("a", 2.5), ("b", -1.0)):
+        got = out[out.url == u]["aux_coef"].iloc[0]
+        assert got == pytest.approx(coef, rel=1e-3)
+
+
+def test_gorilla_tier_roundtrip(spark):
+    rows = [("u%d" % (i % 5), BASE + dt.timedelta(hours=i),
+             float(i) if i % 7 else None)
+            for i in range(200)]
+    tier = spark.createDataFrame(
+        rows, "url string, bucket_start timestamp, value_avg double")
+    enc = encode_tier(tier, "1 hour", CFG)
+    pe = enc.toPandas()
+    assert pe["n_points"].sum() == 200
+    # NaN-bearing + compressed
+    assert (pe["bytes_encoded"] < pe["bytes_raw"]).all()
+    dec = decode_tier(enc).orderBy("url", "bucket_start").toPandas()
+    src = tier.orderBy("url", "bucket_start").toPandas()
+    assert len(dec) == 200
+    np.testing.assert_array_equal(
+        dec["bucket_start"].to_numpy(), src["bucket_start"].to_numpy())
+    np.testing.assert_array_equal(
+        dec["value_avg"].to_numpy(), src["value_avg"].to_numpy())
