@@ -365,6 +365,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    loop_length=3)
     q["closure_triangles"] = q_closure_triangles
 
+    def q_dem_error(spark, sf):
+        """T14 nuisance-regressor co-estimation: y = a + b*t + c*aux per
+        url (aux = props length — a deterministic per-row covariate).
+        The kernel solves by lstsq; the oracle solves the same 3x3
+        normal equations by Cramer's rule in SQL."""
+        from pyrate_spark.operators.corrections import dem_error_analog
+        e = spark.read.parquet(f"{sf}/events.parquet")
+        s = (e.select(
+                F.col("user_id").cast("string").alias("url"),
+                F.date_trunc("second", "ts").alias("warc_ts"),
+                F.when(F.pmod("event_id", F.lit(10)) == 0, None)
+                 .otherwise(F.col("value")).alias("value"),
+                F.length("props").cast("double").alias("aux"))
+             .where(F.col("value").isNotNull()))
+        out = dem_error_analog(s, EngineConfig(salt_buckets=16))
+        return (out.groupBy("url")
+                .agg(F.first("aux_coef").alias("c"))
+                .select("url", _nn(F.round("c", 5)).alias("aux_coef")))
+    q["dem_error"] = q_dem_error
+
     def q_gorilla_roundtrip(spark, sf):
         """Hourly tier THROUGH the Gorilla codec: encode per-url blocks,
         decode, compare against the plain hourly oracle — proves the
@@ -781,6 +801,31 @@ def oracle_sql() -> dict[str, str]:
         urls AS (SELECT DISTINCT url FROM p)
         SELECT u.url, coalesce(t.n, 0) AS n_loops
         FROM urls u LEFT JOIN tri t ON u.url = t.url
+    """
+
+    o["dem_error"] = f"""
+        WITH s AS (
+          SELECT CAST(user_id AS VARCHAR) AS url,
+                 value AS y, length(props)::DOUBLE AS x,
+                 (epoch(date_trunc('second', ts))
+                  - min(epoch(date_trunc('second', ts)))
+                      OVER (PARTITION BY user_id)) / {YEAR_SECONDS} AS t
+          FROM events WHERE event_id % 10 <> 0),
+        m AS (
+          SELECT url, count(*) n, sum(t) st, sum(x) sx,
+                 sum(t*t) stt, sum(t*x) stx, sum(x*x) sxx,
+                 sum(y) sy, sum(t*y) sty, sum(x*y) sxy
+          FROM s GROUP BY url HAVING count(*) >= 4)
+        SELECT url,
+               round(
+                 (  n  * (stt*sxy - sty*stx)
+                  - st * (st*sxy  - sty*sx)
+                  + sy * (st*stx  - stt*sx))
+                 /
+                 (  n  * (stt*sxx - stx*stx)
+                  - st * (st*sxx  - stx*sx)
+                  + sx * (st*stx  - stt*sx)), 5) AS aux_coef
+        FROM m
     """
 
     o["gorilla_roundtrip"] = f"""

@@ -1,0 +1,110 @@
+"""Binary segment ingest — the conv2tif analog (S1-S3).
+
+The reference ingests per-epoch binary rasters: raw bytes + a header
+schema + the epoch parsed from the FILENAME by regex
+(shared.py:847-909 write_fullres_geotiff, gamma.py:79-171 header parse,
+shared.py:1378-1382 + constants.py:70-73 the \\d{8} filename epochs),
+with a file-size sanity check (shared.py:1014-1022).
+
+The graft ingests WARC-ish crawl segments: files named
+``segment-<epoch14>.bin`` holding newline-delimited records
+``url \\x1f ts_unix \\x1f lang \\x1f text`` (UTF-8, \\x1f unit
+separators). The pipeline:
+
+- ``spark.read.format('binaryFile')`` scans the raw bytes (S1);
+- an Arrow-batched mapInPandas splits records into typed columns (S2),
+  one python pass per FILE, never per record-row in the driver;
+- the segment epoch comes from the filename regex and is validated
+  against every record's timestamp (S3 + the reference's
+  name/content consistency checks);
+- a declared-record-count trailer plays the file-size check role:
+  mismatches raise, matching the reference's refusal to read
+  truncated rasters.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SEP = "\x1f"
+PAGES_OUT = ("url string, warc_ts timestamp, html binary, text string, "
+             "lang string, segment_epoch timestamp")
+
+
+def write_segments(pages: DataFrame, out_dir: str,
+                   segment: str = "1 day") -> int:
+    """Serialise pages into per-window binary segment files (the test
+    fixture writer — production data arrives in this shape). Returns
+    the number of segments written."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    win = F.window("warc_ts", segment)
+    rows = (pages
+            .withColumn("_seg", F.date_format(win["start"],
+                                              "yyyyMMddHHmmss"))
+            .select("_seg", "url",
+                    F.unix_timestamp("warc_ts").alias("ts_unix"),
+                    "lang", "text")
+            .collect())
+    segs: dict[str, list] = {}
+    for r in rows:
+        segs.setdefault(r["_seg"], []).append(r)
+    for seg, rs in segs.items():
+        body = "".join(
+            f"{r['url']}{SEP}{r['ts_unix']}{SEP}{r['lang']}{SEP}{r['text']}\n"
+            for r in sorted(rs, key=lambda x: (x["url"], x["ts_unix"])))
+        payload = body.encode("utf-8") + f"#count={len(rs)}\n".encode()
+        with open(f"{out_dir}/segment-{seg}.bin", "wb") as f:
+            f.write(payload)
+    return len(segs)
+
+
+def read_segments(spark: SparkSession, path: str) -> DataFrame:
+    """binaryFile scan -> typed pages rows. Raises on record-count
+    mismatch or records whose timestamp falls outside their segment's
+    filename epoch day (the reference's header/file consistency
+    checks)."""
+    raw = (spark.read.format("binaryFile")
+           .load(f"{path}/segment-*.bin")
+           .select("path", "content"))
+
+    def decode(batches):
+        import re
+        for pdf in batches:
+            out = {k: [] for k in ("url", "warc_ts", "html", "text",
+                                   "lang", "segment_epoch")}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"segment-(\d{14})\.bin$", p)
+                if not m:
+                    raise ValueError(f"unparseable segment name: {p}")
+                seg_ts = dt.datetime.strptime(m.group(1), "%Y%m%d%H%M%S")
+                text = bytes(content).decode("utf-8")
+                lines = text.splitlines()
+                if not lines or not lines[-1].startswith("#count="):
+                    raise ValueError(f"missing count trailer in {p}")
+                declared = int(lines[-1][len("#count="):])
+                records = lines[:-1]
+                if len(records) != declared:
+                    raise ValueError(
+                        f"truncated segment {p}: {len(records)} records, "
+                        f"{declared} declared")
+                for line in records:
+                    url, ts_unix, lang, body = line.split(SEP, 3)
+                    ts = dt.datetime.utcfromtimestamp(int(ts_unix))
+                    if not (seg_ts <= ts < seg_ts + dt.timedelta(days=1)):
+                        raise ValueError(
+                            f"record ts {ts} outside segment {seg_ts} in {p}")
+                    out["url"].append(url)
+                    out["warc_ts"].append(ts)
+                    out["html"].append(
+                        f"<html><body>{body}</body></html>".encode())
+                    out["text"].append(body)
+                    out["lang"].append(lang)
+                    out["segment_epoch"].append(seg_ts)
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(decode, PAGES_OUT)
