@@ -175,6 +175,43 @@ def closure_mask(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
             .groupBy("_bucket").applyInPandas(fn, schema))
 
 
+def quality_mask(series: DataFrame, quality_col: str, thr: float,
+                 value_col: str = "value") -> DataFrame:
+    """P3 coherence-mask analog (gdal_python.py:36-61): NULL the value
+    where the per-row quality covariate is below threshold —
+    ``where(coh >= thr, src, NaN)`` as a single column expression."""
+    return series.withColumn(
+        value_col,
+        F.when(F.col(quality_col) >= F.lit(thr), F.col(value_col))
+         .otherwise(F.lit(None)))
+
+
+def cohort_lowpass(series: DataFrame, cfg: EngineConfig = DEFAULT,
+                   bucket: str = "1 day",
+                   cohort_expr=None) -> DataFrame:
+    """T12 recast (aps.py:196-318): the reference's spatial Gaussian
+    low-pass smooths ACROSS pixels per epoch; the web graft's spatial
+    axis is the url cohort (same host), so the low-pass component is
+    the per-(host, time-bucket) mean and the returned value is the
+    high-pass residual — removing shared per-host atmosphere-like
+    systematics. Documented deviation: a Gaussian over a host metric
+    space degenerates to the cohort mean when cohort members are
+    exchangeable (SURVEY.md §7 watch-item e).
+
+    One aggregation + one broadcast-able join; no UDF."""
+    if cohort_expr is None:
+        cohort_expr = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    win = F.window("warc_ts", bucket)
+    src = series.withColumn("_cohort", cohort_expr) \
+                .withColumn("_wstart", win["start"])
+    lp = (src.groupBy("_cohort", "_wstart")
+          .agg(F.avg("value").alias("_lp")))
+    return (src.join(lp, ["_cohort", "_wstart"], "left")
+            .withColumn("value_hp", F.col("value") - F.col("_lp"))
+            .withColumn("value_lp", F.col("_lp"))
+            .drop("_cohort", "_wstart", "_lp"))
+
+
 def closure_loop_counts(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                         loop_length: int = 3,
                         n_buckets: int | None = None) -> DataFrame:

@@ -116,6 +116,38 @@ def test_dem_error_analog_recovers_aux_coef(spark):
         assert got == pytest.approx(coef, rel=1e-3)
 
 
+def test_quality_mask(spark):
+    from pyrate_spark.operators.corrections import quality_mask
+    rows = [("a", BASE, 1.0, 0.9), ("a", BASE + dt.timedelta(hours=1),
+             2.0, 0.1)]
+    s = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double, coh double")
+    out = quality_mask(s, "coh", 0.5).orderBy("warc_ts").toPandas()
+    assert out["value"].iloc[0] == 1.0
+    assert out["value"].isna().iloc[1]
+
+
+def test_cohort_lowpass_removes_host_bias(spark):
+    from pyrate_spark.operators.corrections import cohort_lowpass
+    rows = []
+    for host, bias in (("h1", 100.0), ("h2", -50.0)):
+        for p in range(3):
+            for k in range(4):
+                rows.append((f"https://{host}.x/p/{p}",
+                             BASE + dt.timedelta(hours=6 * k),
+                             bias + float(p)))
+    s = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double")
+    out = cohort_lowpass(s).toPandas()
+    # per-host bias removed: high-pass residuals centred per cohort
+    h1 = out[out.url.str.contains("h1")]["value_hp"]
+    h2 = out[out.url.str.contains("h2")]["value_hp"]
+    assert abs(h1.mean()) < 1e-9 and abs(h2.mean()) < 1e-9
+    # and the low-pass carries the bias
+    assert out[out.url.str.contains("h1")]["value_lp"].iloc[0] == \
+        pytest.approx(101.0)
+
+
 def test_gorilla_tier_roundtrip(spark):
     rows = [("u%d" % (i % 5), BASE + dt.timedelta(hours=i),
              float(i) if i % 7 else None)
