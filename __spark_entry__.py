@@ -776,7 +776,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM ({ev})),
         m AS (SELECT d, median(value) med FROM e GROUP BY d)
         SELECT e.url, CAST(epoch(e.warc_ts) AS BIGINT) AS ts_unix,
-               round(e.value - coalesce(m.med, 0) + 1e-20, 5)
+               round(e.value - coalesce(m.med, 0) - 1e-20, 5)
                    AS value_centred
         FROM e JOIN m ON e.d = m.d
     """

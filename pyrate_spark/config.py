@@ -27,6 +27,12 @@ class EngineConfig:
     maxsig: int = 2             # error mask threshold (LR_MAXSIG)
     velerror_nsig: int = 2      # error scaling (VELERROR_NSIG, constants.py:283)
 
+    # --- temporal VCM weighting (reference: pyrate/core/covariance.py) ---
+    # "identity" = unweighted; "pattern" = Biggs pattern x per-key sample
+    # variance; "maxvar" = Biggs pattern x FFT-autocovariance maxvar
+    # (covariance.py:65-196 temporal analog)
+    vcm_mode: str = "identity"
+
     # --- temporal filter (reference: pyrate/core/aps.py:322-397) ---
     tlpf_cutoff_days: int = 30  # Gaussian cutoff, days (TLPF_CUTOFF)
     tlpf_pthr: int = 1          # min valid obs (TLPF_PTHR)

@@ -62,7 +62,9 @@ def stack_rate_pixel(obs: np.ndarray, mst: np.ndarray, vcmt: np.ndarray,
             err = np.sqrt(np.diag(np.linalg.inv(err2)))
 
             r = (B * v) - ifgv
-            w = np.linalg.cholesky(np.linalg.inv(vcm_temp))
+            # reference stack.py:153 uses scipy cholesky default = UPPER
+            # factor U (inv(V) = U^H U); numpy returns lower L, so .T
+            w = np.linalg.cholesky(np.linalg.inv(vcm_temp)).T
             wr = np.abs(np.dot(w, r.T))
 
         max_val = wr.max()

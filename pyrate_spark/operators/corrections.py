@@ -38,8 +38,10 @@ def ref_phase_subtract(series: DataFrame, cfg: EngineConfig = DEFAULT,
     return (src.withColumn("_wstart", win["start"])
             .join(F.broadcast(med), "_wstart", "left")
             .withColumn("value",
+                        # net shift is NEGATIVE epsilon: the reference does
+                        # phase_data -= ref_ph + 1e-20 (ref_phs_est.py:180)
                         F.col("value") - F.coalesce("_ref_med", F.lit(0.0))
-                        + F.lit(EPSILON))
+                        - F.lit(EPSILON))
             .drop("_wstart", "_ref_med"))
 
 
@@ -83,11 +85,22 @@ def aps_temporal_filter(series: DataFrame,
     """T11/T13 analog (aps.py:322-397): replace value by its temporal
     high-pass component (subtract the Gaussian low-pass), per url."""
     from pyrate_spark.operators.grouped import temporal_highpass_per_url
-    hp = temporal_highpass_per_url(series, cfg).select(
-        "url", F.col("epoch_ts").alias("warc_ts"),
-        F.col("value_hp").alias("_hp"))
-    return (series.join(hp, ["url", "warc_ts"], "left")
-            .withColumn("value", F.col("_hp")).drop("_hp"))
+    # the grouped kernel emits epoch_ts truncated to whole seconds
+    # (ts_seconds/datetime64[s]) — join on a unix-seconds key on BOTH
+    # sides so sub-second warc_ts still matches, and coalesce so a row
+    # that fails to match keeps its original value instead of nulling
+    hp = (temporal_highpass_per_url(series, cfg)
+          .select("url", F.unix_timestamp("epoch_ts").alias("_ts_s"),
+                  F.col("value_hp").alias("_hp"))
+          # duplicate (url, second) inputs each emit a kernel row; the
+          # join key can't tell them apart, so average — never fan out
+          .groupBy("url", "_ts_s").agg(F.avg("_hp").alias("_hp")))
+    return (series
+            .withColumn("_ts_s", F.unix_timestamp(
+                F.date_trunc("second", "warc_ts")))
+            .join(hp, ["url", "_ts_s"], "left")
+            .withColumn("value", F.coalesce("_hp", "value"))
+            .drop("_hp", "_ts_s"))
 
 
 def maxvar_column(series: DataFrame,

@@ -93,9 +93,24 @@ def checkpointed_run(df: DataFrame, out_dir: str,
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     fps = _input_fingerprints(df, key_col, n_buckets)
     done = completed_buckets(out_dir, params_hash)
+    # staleness = fingerprint OR row-count change: the xor fingerprint
+    # alone cancels when an even number of identical rows is added or
+    # removed, so rows_in participates too
     pending = [b for b in sorted(fps)
                if b not in done
-               or done[b].get("fingerprint") != fps[b]["fingerprint"]]
+               or done[b].get("fingerprint") != fps[b]["fingerprint"]
+               or done[b].get("rows_in") != fps[b]["rows_in"]]
+    # a manifested bucket whose input rows all disappeared would never
+    # re-pend: drop its stale parquet partition + manifest so
+    # read_result cannot return deleted data
+    for b in sorted(set(done) - set(fps)):
+        part_dir = os.path.join(out_dir, f"{BUCKET_COL}={b}")
+        if os.path.isdir(part_dir):
+            import shutil
+            shutil.rmtree(part_dir)
+        mpath = os.path.join(_manifest_dir(out_dir), f"{b}.json")
+        if os.path.exists(mpath):
+            os.remove(mpath)
     if not pending:
         return 0
 

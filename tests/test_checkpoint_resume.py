@@ -82,6 +82,37 @@ def test_input_change_reprocesses_changed_buckets(spark, series, tmp_path):
     assert 0 < n <= 8       # only buckets whose fingerprint moved
 
 
+def test_xor_cancelling_change_still_reprocesses(spark, series, tmp_path):
+    """Adding two identical rows leaves the bit_xor fingerprint
+    unchanged; rows_in must catch it (ADVICE r1)."""
+    out = str(tmp_path / "o5")
+    one = series.limit(1)
+    padded = series.unionAll(one).unionAll(one)
+    checkpointed_run(padded, out, transform, n_buckets=4, params_hash="a")
+    n = checkpointed_run(series, out, transform, n_buckets=4,
+                         params_hash="a")
+    assert n >= 1            # the touched bucket re-pends
+    fresh = str(tmp_path / "o5_fresh")
+    checkpointed_run(series, fresh, transform, n_buckets=4, params_hash="a")
+    a = _sorted(read_result(spark, out))
+    b = _sorted(read_result(spark, fresh))
+    assert a.equals(b)
+
+
+def test_vanished_bucket_is_purged(spark, series, tmp_path):
+    """A bucket whose input rows all disappear must not survive in the
+    output (ADVICE r1: stale partition + manifest removal)."""
+    out = str(tmp_path / "o6")
+    checkpointed_run(series, out, transform, n_buckets=4, params_hash="a")
+    kept = series.where(F.pmod(F.xxhash64("url"), F.lit(4)) != 0)
+    assert kept.count() < series.count()
+    checkpointed_run(kept, out, transform, n_buckets=4, params_hash="a")
+    got_urls = {r.url for r in read_result(spark, out)
+                .select("url").distinct().collect()}
+    want_urls = {r.url for r in kept.select("url").distinct().collect()}
+    assert got_urls == want_urls
+
+
 def test_manifest_carries_lineage_and_metrics(spark, series, tmp_path):
     out = str(tmp_path / "o4")
     checkpointed_run(series, out, transform, n_buckets=4, params_hash="h")
