@@ -457,16 +457,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.lsh_topk(_emb(spark, sf), QUERY_IDS, k=5, n_planes=8)
     q["knn_lsh"] = q_knn_lsh
 
-    def q_multimodal_features(spark, sf):         # rows-only (stubbed decode)
+    def q_multimodal_features(spark, sf):
+        """Stubbed decode is sha256-deterministic, so the oracle
+        recomputes the identical feature bytes in DuckDB. posexplode to
+        scalar rows keeps the output canonicalizable (no list column)."""
         from pyrate_spark.operators.multimodal import (extract_features,
                                                        synth_assets)
-        return extract_features(synth_assets(spark, 64), feat_dim=8)
+        f = extract_features(synth_assets(spark, 64), feat_dim=8)
+        return f.select(
+            "asset_id", "kind",
+            F.posexplode("feat").alias("pos", "fv"),
+            "decode_ok").select(
+            "asset_id", "kind", F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("fv").cast("double"), 9).alias("feat_val"),
+            "decode_ok")
     q["multimodal_features"] = q_multimodal_features
 
-    def q_temporal_highpass(spark, sf):           # rows-only (custom window)
+    def q_temporal_highpass(spark, sf):
+        """T11: Gaussian-weighted high-pass on the irregular time axis.
+        SQL twin = per-url self-join over the interval-midpoint axis."""
         cfg = EngineConfig(tlpf_cutoff_days=2, tlpf_pthr=1, salt_buckets=16)
         s = _events(spark, sf)
-        return temporal_highpass_per_url(s, cfg)
+        out = temporal_highpass_per_url(s, cfg)
+        return out.select("url", _u("epoch_ts").alias("ts_unix"),
+                          _nn(F.round("value_hp", 5)).alias("value_hp"),
+                          _nn(F.round("value_lp", 5)).alias("value_lp"))
     q["temporal_highpass"] = q_temporal_highpass
 
     # ---------------- relational anchor ----------------
@@ -935,6 +950,65 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
           FROM scored)
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    # T11 twin: axis = interval midpoints (aps.py:345-346 analog), then
+    # normalised Gaussian weights over valid samples via a per-url
+    # self-join. cutoff = 2 days, pthr = 1 (matches the query's cfg).
+    _cut_yr = 2 / 365.25
+    o["temporal_highpass"] = f"""
+        WITH s AS (
+          SELECT url, warc_ts, value,
+                 row_number() OVER (PARTITION BY url ORDER BY warc_ts)
+                     AS rn,
+                 (epoch(warc_ts)
+                  - min(epoch(warc_ts)) OVER (PARTITION BY url))
+                 / {YEAR_SECONDS} AS span
+          FROM ({ev})),
+        axd AS (
+          SELECT *, lead(span) OVER (PARTITION BY url ORDER BY rn) nspan,
+                    lag(span)  OVER (PARTITION BY url ORDER BY rn) pspan
+          FROM s),
+        axis AS (
+          SELECT url, rn, warc_ts, value,
+                 CASE WHEN nspan IS NOT NULL THEN span + (nspan - span)/2
+                      WHEN pspan IS NOT NULL THEN span + (span - pspan)/2
+                      ELSE span + 0.5 END AS ax
+          FROM axd),
+        lp AS (
+          SELECT a.url, a.rn,
+                 sum(exp(-0.5 * pow((b.ax - a.ax) / {_cut_yr}, 2)) * b.value)
+                 / sum(exp(-0.5 * pow((b.ax - a.ax) / {_cut_yr}, 2))) AS lp
+          FROM axis a JOIN axis b ON a.url = b.url
+          WHERE a.value IS NOT NULL AND b.value IS NOT NULL
+          GROUP BY a.url, a.rn)
+        SELECT a.url, CAST(epoch(a.warc_ts) AS BIGINT) AS ts_unix,
+               round(a.value - l.lp, 5) AS value_hp,
+               round(l.lp, 5) AS value_lp
+        FROM axis a LEFT JOIN lp l ON a.url = l.url AND a.rn = l.rn
+    """
+
+    # stub decoder twin: feature j = little-endian uint32 of bytes
+    # [4j, 4j+4) of sha256('ASSET-<id>-42'), cast float32, / 2^32 —
+    # every step is exactly reproducible in SQL (power-of-two division)
+    o["multimodal_features"] = """
+        WITH a AS (SELECT unnest(range(64)) AS asset_id),
+        h AS (SELECT asset_id,
+                     CASE asset_id % 3 WHEN 0 THEN 'image/png'
+                          WHEN 1 THEN 'audio/wav'
+                          ELSE 'video/mp4' END AS kind,
+                     sha256('ASSET-' || asset_id || '-42') AS hx
+              FROM a),
+        p AS (SELECT asset_id, kind, hx, unnest(range(8)) AS pos FROM h)
+        SELECT asset_id, kind, pos,
+               round(CAST(CAST(CAST('0x' || substr(hx, pos*8+7, 2)
+                                         || substr(hx, pos*8+5, 2)
+                                         || substr(hx, pos*8+3, 2)
+                                         || substr(hx, pos*8+1, 2)
+                                AS BIGINT) AS FLOAT) AS DOUBLE)
+                     / 4294967296, 9) AS feat_val,
+               true AS decode_ok
+        FROM p
     """
 
     o["pricing_summary"] = """

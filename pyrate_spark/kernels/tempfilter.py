@@ -14,13 +14,17 @@ from pyrate_spark import DAYS_PER_YEAR
 
 
 def gaussian_temporal_filter(tsincr: np.ndarray, cutoff_yr: float,
-                             span: np.ndarray, thr: int) -> np.ndarray:
+                             span: np.ndarray, thr: int,
+                             dtype=np.float32) -> np.ndarray:
     """Low-pass one series (aps.py:366-389). Vectorised over the k loop
-    (the reference loops; the math is an (m, m) weight matrix)."""
+    (the reference loops; the math is an (m, m) weight matrix).
+    ``dtype`` defaults to the reference's float32 output; the Spark
+    operator passes float64 so results are exactly SQL-reproducible
+    (the DuckDB oracle computes in doubles)."""
     tsincr = np.asarray(tsincr, dtype=np.float64)
     span = np.asarray(span, dtype=np.float64)
     sel = np.nonzero(~np.isnan(tsincr))[0]
-    ts_lp = np.full(tsincr.shape, np.nan, dtype=np.float32)
+    ts_lp = np.full(tsincr.shape, np.nan, dtype=dtype)
     m = len(sel)
     if m >= thr:
         yr = span[sel][None, :] - span[sel][:, None]        # (m, m)
@@ -31,7 +35,7 @@ def gaussian_temporal_filter(tsincr: np.ndarray, cutoff_yr: float,
 
 
 def temporal_high_pass(tsincr: np.ndarray, spans: np.ndarray,
-                       cutoff_days: int, pthr: int):
+                       cutoff_days: int, pthr: int, dtype=np.float32):
     """High-pass = tsincr - low-pass (aps.py:322-363). ``spans`` are the
     epoch year-offsets; the filter time axis is the interval midpoint
     accumulated time (aps.py:345-346)."""
@@ -41,5 +45,6 @@ def temporal_high_pass(tsincr: np.ndarray, spans: np.ndarray,
     spans = np.asarray(spans, dtype=np.float64)
     intv = np.diff(spans)
     axis = spans[: len(tsincr)] + intv / 2.0
-    ts_lp = gaussian_temporal_filter(tsincr, cutoff_yr, axis, pthr)
+    ts_lp = gaussian_temporal_filter(tsincr, cutoff_yr, axis, pthr,
+                                     dtype=dtype)
     return np.asarray(tsincr, dtype=np.float64) - ts_lp, ts_lp

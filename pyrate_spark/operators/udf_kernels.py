@@ -211,7 +211,8 @@ def make_temporal_hp_fn(cutoff_days: int, pthr: int, value_col: str,
             spans_full = np.concatenate(
                 (spans, [spans[-1] + (spans[-1] - spans[-2]
                                       if len(spans) > 1 else 1.0)]))
-            hp, lp = temporal_high_pass(v, spans_full, cutoff_days, pthr)
+            hp, lp = temporal_high_pass(v, spans_full, cutoff_days, pthr,
+                                        dtype=np.float64)
             urls.append(np.repeat(url, len(t)))
             tss.append(t)
             hps.append(hp)
