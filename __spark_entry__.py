@@ -409,12 +409,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dd.jaccard_pairs(_docs(spark, sf), threshold=0.5)
     q["dedup_jaccard"] = q_dedup_jaccard
 
-    def q_dedup_minhash_lsh(spark, sf):           # rows-only (xxhash64)
-        return dd.minhash_lsh_pairs(_docs(spark, sf), threshold=0.5)
+    def q_dedup_minhash_lsh(spark, sf):
+        """md5 hash mode: DuckDB replays the WHOLE LSH pipeline
+        (min-hash sigs -> band buckets -> candidates -> exact verify)
+        bit-for-bit, so the oracle checks recall behaviour too."""
+        return dd.minhash_lsh_pairs(_docs(spark, sf), threshold=0.5,
+                                    hash_mode="md5")
     q["dedup_minhash_lsh"] = q_dedup_minhash_lsh
 
-    def q_dedup_simhash(spark, sf):               # rows-only (xxhash64)
-        return dd.simhash_near_pairs(_docs(spark, sf), max_hamming=3)
+    def q_dedup_simhash(spark, sf):
+        """md5 hash mode (60-bit fp); banding is exhaustive for
+        hamming<=3, so the oracle is the all-pairs popcount filter."""
+        out = dd.simhash_near_pairs(_docs(spark, sf), max_hamming=3,
+                                    hash_mode="md5")
+        return out.select("doc_a", "doc_b",
+                          F.col("hamming").cast("long").alias("hamming"))
     q["dedup_simhash"] = q_dedup_simhash
 
     def q_token_count(spark, sf):
@@ -873,6 +882,78 @@ def oracle_sql() -> dict[str, str]:
         FROM shared JOIN sizes sa ON doc_a = sa.doc_id
                     JOIN sizes sb ON doc_b = sb.doc_id
         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """
+
+    # --- MinHash LSH twin (md5 hash mode, seeds 42..57, 4 bands x 4) ---
+    _mh = "CAST('0x' || substr(md5(shingle || '#{s}'), 1, 15) AS BIGINT)"
+    _mins = ", ".join(
+        f"min({_mh.format(s=42 + i)}) AS h{i}" for i in range(16))
+    _buckets = {
+        b: " || ',' || ".join(f"CAST(h{4 * b + r} AS VARCHAR)"
+                              for r in range(4))
+        for b in range(4)}
+    _bucket_case = ("CASE band " + " ".join(
+        f"WHEN {b} THEN {expr}" for b, expr in _buckets.items()) + " END")
+    _shingle_src = r"""
+        toks AS (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+                 FROM documents),
+        sh0 AS (SELECT doc_id, unnest(
+                  CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                       ELSE list_transform(
+                           generate_series(1, len(tk) - 2),
+                           i -> array_to_string(tk[i:i+2], ' '))
+                  END) AS shingle
+                FROM toks),
+        shd AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+    """
+    o["dedup_minhash_lsh"] = f"""
+        WITH {_shingle_src},
+        sig AS (SELECT doc_id, {_mins} FROM shd GROUP BY doc_id),
+        buckets AS (
+          SELECT doc_id, band, {_bucket_case} AS bucket
+          FROM sig, (SELECT unnest(range(4)) AS band)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) n FROM shd GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*) AS i
+                  FROM shd a JOIN shd b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT c.doc_a, c.doc_b,
+               round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+        FROM cand c
+        JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.5
+    """
+
+    # --- SimHash twin (md5 hash mode, 60-bit fp, hamming <= 3) ---
+    _votes = ", ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60))
+    _fp = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END"
+        for i in range(60))
+    o["dedup_simhash"] = rf"""
+        WITH t AS (SELECT doc_id, unnest(
+                     regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     CAST('0x' || substr(md5(tok || '#42'), 1, 15)
+                          AS BIGINT) AS hv
+              FROM t),
+        v AS (SELECT doc_id, {_votes} FROM h GROUP BY doc_id),
+        f AS (SELECT doc_id, {_fp} AS fp FROM v)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
     """
 
     o["token_count"] = r"""

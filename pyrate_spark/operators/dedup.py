@@ -25,6 +25,22 @@ def _tokens(text_col: str):
     return F.split(F.trim(F.lower(F.col(text_col))), _WS)
 
 
+def _hash64(col, seed: int, hash_mode: str):
+    """Seeded 64-bit-ish hash of a string column.
+
+    - "xxhash" (default): xxhash64 — the scale path, JVM-native.
+    - "md5": first 15 hex chars of md5(s + '#seed') parsed base-16 (a
+      60-bit value). Slower, but md5 is the one hash Spark and DuckDB
+      share bit-for-bit, which makes the whole MinHash/SimHash pipeline
+      exactly reproducible in the SQL oracle.
+    """
+    if hash_mode == "md5":
+        return F.conv(F.substring(
+            F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15),
+            16, 10).cast("long")
+    return F.xxhash64(col, F.lit(seed))
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, content_hash, canonical_id, dup_count): canonical is the
     min doc_id per identical text."""
@@ -73,15 +89,16 @@ def _shingles(text_col: str, n: int = 3):
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        num_hashes: int = 16, shingle_n: int = 3,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       hash_mode: str = "xxhash") -> DataFrame:
     """(doc_id, sig array<long>): k independent min-hashes computed as k
     min() aggregates over ONE exploded shingle set."""
     sh = (docs.select("doc_id",
                       F.explode(F.array_distinct(_shingles(text_col,
                                                            shingle_n)))
                       .alias("shingle")))
-    aggs = [F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
-            for i in range(num_hashes)]
+    aggs = [F.min(_hash64(F.col("shingle"), seed + i, hash_mode))
+            .alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)])
                       .alias("sig"))
@@ -90,16 +107,25 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 3, threshold: float = 0.5,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      hash_mode: str = "xxhash") -> DataFrame:
     """Candidate pairs from band-bucket collisions, verified with exact
-    Jaccard. Returns (doc_a, doc_b, jaccard)."""
+    Jaccard. Returns (doc_a, doc_b, jaccard). In md5 mode the bucket is
+    the raw signature-slice string (no re-hash) so the oracle's
+    candidate set is bit-identical."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, num_hashes, shingle_n, seed)
+    sig = minhash_signatures(docs, text_col, num_hashes, shingle_n, seed,
+                             hash_mode)
+
+    def _bucket(b):
+        joined = F.concat_ws(
+            ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                   for r in range(rows_per_band)])
+        return joined if hash_mode == "md5" else \
+            F.xxhash64(joined).cast("string")
+
     band_cols = [
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(F.concat_ws(
-                     ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)])).alias("bucket"))
+        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
         for b in range(bands)]
     buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
                .select("doc_id", "bb.band", "bb.bucket")
@@ -125,31 +151,38 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            seed: int = 42) -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, per-bit +-1 vote,
-    sign -> bit. Explode + 64 conditional sums in one aggregation."""
+            seed: int = 42, hash_mode: str = "xxhash") -> DataFrame:
+    """SimHash per doc: per-token hash, per-bit +-1 vote, sign -> bit.
+    Explode + conditional sums in one aggregation. 64 bits in xxhash
+    mode; 60 bits in md5 mode (15 hex chars -> always non-negative,
+    which also sidesteps the sign bit)."""
+    nbits = 60 if hash_mode == "md5" else 64
     toks = (docs.select("doc_id", F.explode(_tokens(text_col)).alias("tok"))
-            .withColumn("h", F.xxhash64("tok", F.lit(seed))))
+            .withColumn("h", _hash64(F.col("tok"), seed, hash_mode)))
     votes = [F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
                           1).otherwise(-1)).alias(f"b{i}")
-             for i in range(64)]
+             for i in range(nbits)]
     agg = toks.groupBy("doc_id").agg(*votes)
     fp = sum((F.when(F.col(f"b{i}") > 0,
                      F.lit(1).cast("long") * F.lit(2 ** i
                                                    if i < 63 else -(2 ** 63)))
-              .otherwise(0) for i in range(64)), F.lit(0).cast("long"))
+              .otherwise(0) for i in range(nbits)), F.lit(0).cast("long"))
     return agg.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
-                       max_hamming: int = 3, seed: int = 42) -> DataFrame:
-    """Near-dup candidates via 4x16-bit band buckets (any band equal ->
-    candidate; catches all pairs with hamming <= 3), verified by exact
-    popcount distance."""
-    fp = simhash(docs, text_col, seed)
+                       max_hamming: int = 3, seed: int = 42,
+                       hash_mode: str = "xxhash") -> DataFrame:
+    """Near-dup candidates via 4 band buckets (any band equal ->
+    candidate; by pigeonhole catches ALL pairs with hamming <= 3, so
+    the output equals the full hamming-<=3 pair set), verified by exact
+    popcount distance. Bands are 16 bits (xxhash) or 15 bits (md5)."""
+    band_bits = 15 if hash_mode == "md5" else 16
+    band_mask = (1 << band_bits) - 1
+    fp = simhash(docs, text_col, seed, hash_mode)
     bandc = [F.struct(F.lit(b).alias("band"),
-                      F.shiftrightunsigned("simhash", 16 * b)
-                      .bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
+                      F.shiftrightunsigned("simhash", band_bits * b)
+                      .bitwiseAND(F.lit(band_mask)).alias("bucket"))
              for b in range(4)]
     buckets = (fp.select("doc_id", "simhash",
                          F.explode(F.array(*bandc)).alias("bb"))
