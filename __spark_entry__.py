@@ -365,6 +365,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    loop_length=3)
     q["closure_triangles"] = q_closure_triangles
 
+    def q_closure_fixpoint(spark, sf):
+        """G6 iterative closure check run with no-breach parameters
+        (huge closure_thr, uncapped redundancy, triangles only): the
+        fixpoint then reduces to 'keep edges in >=1 triangle', which a
+        3-way self-join oracle can verify, including the iteration
+        count (2 iff something was dropped, else 1; keys with no
+        triangle abort intact at iteration 1). The breach-driven drop
+        sequence is pytest-verified on hand-computed networks."""
+        from pyrate_spark.operators.corrections import closure_fixpoint
+        p = network_pairs(_events(spark, sf, nulls=False),
+                          max_span_days=30, max_pairs_per_epoch=2)
+        cfg = EngineConfig(max_loop_length=3, max_loop_redundancy=10 ** 6,
+                           closure_thr=1e18, salt_buckets=16)
+        out = closure_fixpoint(p, cfg)
+        return (out.groupBy("url")
+                .agg(F.count(F.lit(1)).alias("n_surviving"),
+                     F.max("n_iter").cast("long").alias("n_iter")))
+    q["closure_fixpoint"] = q_closure_fixpoint
+
     def q_dem_error(spark, sf):
         """T14 nuisance-regressor co-estimation: y = a + b*t + c*aux per
         url (aux = props length — a deterministic per-row covariate).
@@ -847,6 +866,32 @@ def oracle_sql() -> dict[str, str]:
         urls AS (SELECT DISTINCT url FROM p)
         SELECT u.url, coalesce(t.n, 0) AS n_loops
         FROM urls u LEFT JOIN tri t ON u.url = t.url
+    """
+
+    o["closure_fixpoint"] = f"""
+        WITH base AS (SELECT url, warc_ts
+                      FROM ({_events_sql(nulls=False)})),
+        j AS (SELECT a.url, a.warc_ts ts1, b.warc_ts ts2,
+                     row_number() OVER (PARTITION BY a.url, a.warc_ts
+                                        ORDER BY b.warc_ts) rk
+              FROM base a JOIN base b
+                ON a.url = b.url AND b.warc_ts > a.warc_ts
+               AND b.warc_ts <= a.warc_ts + INTERVAL 30 DAY),
+        p AS (SELECT DISTINCT url, ts1, ts2 FROM j WHERE rk <= 2),
+        adj AS (SELECT url, ts1 AS x, ts2 AS y FROM p
+                UNION ALL SELECT url, ts2, ts1 FROM p),
+        tri AS (SELECT DISTINCT e.url, e.ts1, e.ts2
+                FROM p e
+                JOIN adj a ON a.url = e.url AND a.x = e.ts1
+                JOIN adj b ON b.url = e.url AND b.x = e.ts2
+                          AND b.y = a.y),
+        tot AS (SELECT url, count(*) AS tot FROM p GROUP BY url),
+        nt AS (SELECT url, count(*) AS ntri FROM tri GROUP BY url)
+        SELECT t.url,
+               CAST(coalesce(n.ntri, t.tot) AS BIGINT) AS n_surviving,
+               CAST(CASE WHEN n.ntri IS NOT NULL AND n.ntri < t.tot
+                         THEN 2 ELSE 1 END AS BIGINT) AS n_iter
+        FROM tot t LEFT JOIN nt n ON t.url = n.url
     """
 
     o["dem_error"] = f"""

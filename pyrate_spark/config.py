@@ -49,6 +49,8 @@ class EngineConfig:
     max_loop_length: int = 4
     max_loop_redundancy: int = 2
     closure_thr: float = 0.5       # large_dev_thr in cycles of the value unit
+    min_loops_per_ifg: int = 2     # drop gate 1 (closure_check.py:96-115)
+    ifg_drop_thr: float = 0.5      # breach-fraction drop gate 2
 
     # --- execution ---
     salt_buckets: int = 64      # key-batching buckets for grouped-map UDFs

@@ -188,6 +188,113 @@ def closure_mask(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
             .groupBy("_bucket").applyInPandas(fn, schema))
 
 
+def closure_fixpoint(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
+                     n_buckets: int | None = None) -> DataFrame:
+    """G6: iterate the closure check until the per-key observation list
+    is stable (closure_check.py:56-144 iterative_closure_check). Each
+    iteration over the CURRENT edge set: enumerate signed loops up to
+    max_loop_length, apply the greedy redundancy discard
+    (closure_check.py:147-166), drop edges in no retained loop
+    (closure_check.py:223-234 — the reference's list subset; the
+    relational form is a left_semi, here resolved inside the per-key
+    kernel), count breaches, then drop edges breaching the two-gate
+    rule (closure_check.py:96-115: n_loops > min_loops_per_ifg AND
+    breach fraction > ifg_drop_thr — per key the 'grid' is one pixel,
+    so the fraction is 1.0 iff n_breach == n_loops). Converges when an
+    iteration drops nothing; if no retained loop exists the key aborts
+    with its current list intact (closure_check.py:189-199 None
+    semantics).
+
+    The whole fixpoint is per-key-local graph work, so it runs to
+    convergence INSIDE one grouped-map pass — no driver-side loop, no
+    per-iteration shuffle.
+
+    Emits surviving pairs with final (n_loops, n_breach) and the
+    iteration count at convergence."""
+    import pandas as pd
+    import numpy as np
+    from collections import defaultdict
+    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.kernels.closure import (
+        closed_loops, discard_loops_containing_max_ifg_count, sum_closure)
+    max_len = cfg.max_loop_length
+    max_red = cfg.max_loop_redundancy
+    thr = cfg.closure_thr
+    min_loops = cfg.min_loops_per_ifg
+    drop_thr = cfg.ifg_drop_thr
+
+    schema = ("url string, ts_first timestamp, ts_second timestamp, "
+              "delta_value double, n_loops int, n_breach int, n_iter int")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyrate_spark.operators.udf_kernels import (group_slices,
+                                                        ts_seconds)
+        first_all = ts_seconds(pdf["ts_first"])
+        second_all = ts_seconds(pdf["ts_second"])
+        vals = pdf["delta_value"].to_numpy(dtype=np.float64)
+        keep_mask = np.zeros(len(pdf), dtype=bool)
+        out_loops = np.zeros(len(pdf), dtype=np.int32)
+        out_breach = np.zeros(len(pdf), dtype=np.int32)
+        out_iter = np.zeros(len(pdf), dtype=np.int32)
+        for url, idx in group_slices(pdf):
+            sub = np.lexsort((second_all[idx], first_all[idx]))
+            idx = idx[sub]
+            keep = list(idx)
+            nl: dict = {}
+            nb: dict = {}
+            n_iter = 0
+            while True:
+                n_iter += 1
+                fs = [int(first_all[j]) for j in keep]
+                ss = [int(second_all[j]) for j in keep]
+                loops = closed_loops(fs, ss, max_loop_length=max_len)
+                loops = discard_loops_containing_max_ifg_count(loops,
+                                                               max_red)
+                if not loops:
+                    nl, nb = {}, {}
+                    break
+                values = {}
+                for j in keep:
+                    values.setdefault(
+                        (int(first_all[j]), int(second_all[j])), vals[j])
+                nl, nb = defaultdict(int), defaultdict(int)
+                for loop in loops:
+                    _, breach = sum_closure(loop, values,
+                                            subtract_median=False, thr=thr)
+                    for e in loop.edges:
+                        nl[(e.first, e.second)] += 1
+                        if breach:
+                            nb[(e.first, e.second)] += 1
+                new_keep = []
+                for j in keep:
+                    k = (int(first_all[j]), int(second_all[j]))
+                    n = nl.get(k, 0)
+                    if n < 1:
+                        continue                 # in no retained loop
+                    frac = 1.0 if nb.get(k, 0) == n else 0.0
+                    if n > min_loops and frac > drop_thr:
+                        continue                 # two-gate drop
+                    new_keep.append(j)
+                if len(new_keep) == len(keep):
+                    break
+                keep = new_keep
+            for j in keep:
+                k = (int(first_all[j]), int(second_all[j]))
+                keep_mask[j] = True
+                out_loops[j] = nl.get(k, 0)
+                out_breach[j] = nb.get(k, 0)
+                out_iter[j] = n_iter
+        out = pdf[["url", "ts_first", "ts_second", "delta_value"]].copy()
+        out["n_loops"] = out_loops
+        out["n_breach"] = out_breach
+        out["n_iter"] = out_iter
+        return out[keep_mask]
+
+    nb_ = n_buckets or cfg.salt_buckets
+    return (_bucketed(pairs, "url", nb_, detect_hot=False)
+            .groupBy("_bucket").applyInPandas(fn, schema))
+
+
 def quality_mask(series: DataFrame, quality_col: str, thr: float,
                  value_col: str = "value") -> DataFrame:
     """P3 coherence-mask analog (gdal_python.py:36-61): NULL the value

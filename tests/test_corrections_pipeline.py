@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from pyrate_spark.config import EngineConfig
 from pyrate_spark.operators.corrections import (aps_temporal_filter,
+                                                closure_fixpoint,
                                                 closure_mask,
                                                 dem_error_analog,
                                                 maxvar_column,
@@ -96,6 +97,62 @@ def test_closure_mask(spark):
     # P5: every obs of 'bad' breaches in all its loops -> masked
     assert bad["delta_value"].isna().all()
     assert not ok["delta_value"].isna().any()
+
+
+def _fixpoint_net(spark):
+    """4-epoch network, one corrupted edge: tri1(t0,t1,t2) breaches via
+    (t0,t2)=10, tri2(t1,t2,t3) is clean. Hand-computed drop sequence:
+    iter 1 drops (t0,t1) and (t0,t2) (each breaches in ALL its loops),
+    iter 2 finds tri2 intact and converges."""
+    t = [BASE + dt.timedelta(days=10 * k) for k in range(4)]
+    rows = [("u", t[0], t[1], 1.0, 10 / 365.25, 0.0),
+            ("u", t[1], t[2], 1.0, 10 / 365.25, 0.0),
+            ("u", t[0], t[2], 10.0, 20 / 365.25, 0.0),
+            ("u", t[2], t[3], 1.0, 10 / 365.25, 0.0),
+            ("u", t[1], t[3], 2.0, 20 / 365.25, 0.0)]
+    return spark.createDataFrame(
+        rows, "url string, ts_first timestamp, ts_second timestamp, "
+        "delta_value double, time_span double, nan_fraction double"), t
+
+
+def test_closure_fixpoint_drop_sequence(spark):
+    pairs, t = _fixpoint_net(spark)
+    cfg = EngineConfig(salt_buckets=4, max_loop_length=3,
+                       max_loop_redundancy=10, closure_thr=0.5,
+                       min_loops_per_ifg=0, ifg_drop_thr=0.5)
+    out = closure_fixpoint(pairs, cfg).toPandas()
+    out = out.sort_values(["ts_first", "ts_second"]).reset_index(drop=True)
+    got = set(zip(out["ts_first"].dt.day, out["ts_second"].dt.day))
+    # survivors = clean triangle (t1,t2), (t2,t3), (t1,t3)
+    assert got == {(t[1].day, t[2].day), (t[2].day, t[3].day),
+                   (t[1].day, t[3].day)}
+    assert (out["n_iter"] == 2).all()
+    assert (out["n_loops"] == 1).all() and (out["n_breach"] == 0).all()
+
+
+def test_closure_fixpoint_min_loops_gate(spark):
+    # min_loops_per_ifg=2: no edge participates in >2 loops, so gate 1
+    # never fires and the full list is stable at iteration 1
+    pairs, _ = _fixpoint_net(spark)
+    cfg = EngineConfig(salt_buckets=4, max_loop_length=3,
+                       max_loop_redundancy=10, closure_thr=0.5,
+                       min_loops_per_ifg=2, ifg_drop_thr=0.5)
+    out = closure_fixpoint(pairs, cfg).toPandas()
+    assert len(out) == 5
+    assert (out["n_iter"] == 1).all()
+
+
+def test_closure_fixpoint_no_loops_aborts_intact(spark):
+    # a chain has no cycles: abort semantics keep the list as-is
+    t = [BASE + dt.timedelta(days=10 * k) for k in range(3)]
+    rows = [("u", t[0], t[1], 1.0, 10 / 365.25, 0.0),
+            ("u", t[1], t[2], 1.0, 10 / 365.25, 0.0)]
+    pairs = spark.createDataFrame(
+        rows, "url string, ts_first timestamp, ts_second timestamp, "
+        "delta_value double, time_span double, nan_fraction double")
+    out = closure_fixpoint(pairs, EngineConfig(salt_buckets=4)).toPandas()
+    assert len(out) == 2
+    assert (out["n_loops"] == 0).all() and (out["n_iter"] == 1).all()
 
 
 def test_dem_error_analog_recovers_aux_coef(spark):
