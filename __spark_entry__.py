@@ -404,6 +404,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("url", _nn(F.round("c", 5)).alias("aux_coef")))
     q["dem_error"] = q_dem_error
 
+    def q_maxvar_full(spark, sf):
+        """A11 full maxvar: FFT circular autocovariance of the daily
+        regular grid (gaps zeroed, nzc-normalised, first-half lags).
+        The oracle computes the same circular autocovariance by direct
+        modular self-join — equality IS the Wiener-Khinchin check at
+        data scale. alpha is the non-SQL part (iterative fit) and is
+        pytest-verified instead."""
+        from pyrate_spark.operators.corrections import maxvar_full
+        s = _events(spark, sf)
+        out = maxvar_full(s, EngineConfig(salt_buckets=16),
+                          bucket_seconds=86400, calc_alpha=False)
+        return out.select("url", _nn(F.round("maxvar", 4)).alias("maxvar"),
+                          F.col("n_grid").cast("long").alias("n_grid"),
+                          F.col("nzc").cast("long").alias("nzc"))
+    q["maxvar_full"] = q_maxvar_full
+
     def q_gorilla_roundtrip(spark, sf):
         """Hourly tier THROUGH the Gorilla codec: encode per-url blocks,
         decode, compare against the plain hourly oracle — proves the
@@ -917,6 +933,38 @@ def oracle_sql() -> dict[str, str]:
                   - st * (st*sxx  - stx*sx)
                   + sx * (st*stx  - stt*sx)), 5) AS aux_coef
         FROM m
+    """
+
+    o["maxvar_full"] = f"""
+        WITH v AS (
+          SELECT url,
+                 CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT)
+                     // 86400 AS b,
+                 avg(value) AS x
+          FROM ({ev}) GROUP BY 1, 2),
+        ext AS (SELECT url, min(b) b0, max(b) b1 FROM v GROUP BY url),
+        g0 AS (SELECT url, b0, unnest(generate_series(b0, b1)) AS b
+               FROM ext),
+        grid AS (SELECT g0.url, g0.b - g0.b0 AS idx,
+                        coalesce(v.x, 0.0) AS x
+                 FROM g0 LEFT JOIN v ON v.url = g0.url AND v.b = g0.b),
+        stats AS (SELECT url, count(*) AS n,
+                         sum(CASE WHEN x <> 0 THEN 1 ELSE 0 END) AS nzc
+                  FROM grid GROUP BY url),
+        lags AS (SELECT url, n, nzc, unnest(generate_series(0, n - 1)) AS k
+                 FROM stats),
+        acg AS (SELECT l.url, l.k, l.n, l.nzc,
+                       sum(a.x * c.x) / l.nzc AS cv
+                FROM lags l
+                JOIN grid a ON a.url = l.url
+                JOIN grid c ON c.url = l.url
+                           AND c.idx = (a.idx + l.k) % l.n
+                GROUP BY l.url, l.k, l.n, l.nzc)
+        SELECT url,
+               CASE WHEN n < 2 OR nzc = 0 THEN NULL
+                    ELSE round(max(cv), 4) END AS maxvar,
+               n AS n_grid, nzc
+        FROM acg GROUP BY url, n, nzc
     """
 
     o["gorilla_roundtrip"] = f"""

@@ -113,6 +113,48 @@ def maxvar_column(series: DataFrame,
     return series.join(v, "url", "left")
 
 
+def maxvar_full(series: DataFrame, cfg: EngineConfig = DEFAULT,
+                bucket_seconds: int = 86400, calc_alpha: bool = True,
+                n_buckets: int | None = None) -> DataFrame:
+    """A11 full (covariance.py:65-196): per-url maxvar + exponential
+    decay alpha from the FFT autocovariance of the bucketed regular
+    time grid (the 1D graft of the reference's radial autocovariance;
+    see kernels/covariance.py for the step-by-step mapping). Returns
+    one row per url: (url, maxvar, alpha, n_grid, nzc). Join the maxvar
+    column onto a pairs frame and set vcm_mode='maxvar' to weight the
+    stack/time-series inversions with it (covariance.py:312-343)."""
+    import pandas as pd
+    import numpy as np
+    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.kernels.covariance import (cvd_from_series,
+                                                 series_to_grid)
+    dt_days = bucket_seconds / 86400.0
+    schema = ("url string, maxvar double, alpha double, "
+              "n_grid int, nzc int")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyrate_spark.operators.udf_kernels import (group_slices,
+                                                        ts_seconds)
+        ts_all = ts_seconds(pdf["warc_ts"])
+        v_all = pdf["value"].to_numpy(dtype=np.float64)
+        rows = []
+        for url, idx in group_slices(pdf):
+            grid, _ = series_to_grid(ts_all[idx], v_all[idx],
+                                     bucket_seconds)
+            nzc = int(np.count_nonzero(np.where(np.isnan(grid), 0.0,
+                                                grid)))
+            mv, alpha = cvd_from_series(grid, dt=dt_days,
+                                        calc_alpha=calc_alpha)
+            rows.append((url, mv, alpha if alpha is not None else np.nan,
+                         len(grid), nzc))
+        return pd.DataFrame(rows, columns=["url", "maxvar", "alpha",
+                                           "n_grid", "nzc"])
+
+    nb = n_buckets or cfg.salt_buckets
+    return (_bucketed(series, "url", nb, detect_hot=False)
+            .groupBy("_bucket").applyInPandas(fn, schema))
+
+
 def closure_mask(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                  n_buckets: int | None = None) -> DataFrame:
     """G3-G6 + A8 + P5: enumerate closed loops per key, sum signed

@@ -47,10 +47,16 @@ def ts_seconds(col: pd.Series) -> np.ndarray:
     return col.to_numpy().astype("datetime64[s]").astype(np.int64)
 
 
-def _vcmt_for(vcm_mode: str, phase, ifirst, isecond):
-    """identity (default) or Biggs pattern x per-key sample variance
-    (the maxvar analog; covariance.py:257-309)."""
+def _vcmt_for(vcm_mode: str, phase, ifirst, isecond, maxvar=None):
+    """identity (default), Biggs pattern x per-key sample variance
+    ('pattern'), or Biggs pattern x the precomputed FFT-autocovariance
+    maxvar column ('maxvar', covariance.py:312-343 — join maxvar_full
+    output onto the pairs frame first)."""
     n = len(phase)
+    if vcm_mode == "maxvar":
+        mv = float(maxvar) if maxvar is not None and \
+            np.isfinite(maxvar) else 1.0
+        return get_vcmt(ifirst, isecond, np.full(n, max(mv, 1e-9)))
     if vcm_mode == "pattern":
         finite = np.isfinite(phase)
         mv = float(np.var(phase[finite], ddof=1)) if finite.sum() > 1 else 1.0
@@ -68,6 +74,12 @@ def _pair_arrays(pdf: pd.DataFrame):
     return first_all, second_all, phase_all, weight_all
 
 
+def _maxvar_array(pdf: pd.DataFrame):
+    """Optional per-row maxvar column (vcm_mode='maxvar' path)."""
+    return (pdf["maxvar"].to_numpy(dtype=np.float64)
+            if "maxvar" in pdf.columns else None)
+
+
 def _sorted_key_rows(first_all, second_all, idx):
     """Deterministic per-key row order: (ts_first, ts_second)."""
     sub = np.lexsort((second_all[idx], first_all[idx]))
@@ -82,6 +94,7 @@ def make_timeseries_fn(method: int, pthr: int, smorder: int,
         # allocation churn under 32 concurrent workers)
         urls, eids, etss, vels, incrs, cumls = [], [], [], [], [], []
         first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
+        mv_all = _maxvar_array(pdf)
         for url, idx in group_slices(pdf):
             idx = _sorted_key_rows(first_all, second_all, idx)
             fs, ss = first_all[idx], second_all[idx]
@@ -98,7 +111,8 @@ def make_timeseries_fn(method: int, pthr: int, smorder: int,
             else:
                 sel = ~np.isnan(phase)
                 interp = 0
-            vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond)
+            vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond,
+                             mv_all[idx][0] if mv_all is not None else None)
             try:
                 _, tsincr, tscuml = time_series_pixel(
                     phase, ifirst, isecond, spans, method=method,
@@ -143,6 +157,7 @@ def make_stack_fn(nsig: float, pthr: int, nsig_scale: float,
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
+        mv_all = _maxvar_array(pdf)
         span_all = pdf["time_span"].to_numpy(dtype=np.float64)
         for url, idx in group_slices(pdf):
             idx = _sorted_key_rows(first_all, second_all, idx)
@@ -157,7 +172,8 @@ def make_stack_fn(nsig: float, pthr: int, nsig_scale: float,
             sel = sel & ~np.isnan(phase)        # stack.py:185
             obs = np.where(np.isnan(phase), 0.0, phase)   # stack.py:179
             _, _, ifirst, isecond = epochs_from_pairs(fs, ss)
-            vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond)
+            vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond,
+                             mv_all[idx][0] if mv_all is not None else None)
             try:
                 rate, err, samp = stack_rate_pixel(
                     obs, sel, vcmt, span[None, :], nsig, pthr)

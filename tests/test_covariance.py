@@ -1,0 +1,133 @@
+"""A11 maxvar/alpha kernel oracles.
+
+The reference's legacy oracle (tests/test_covariance.py:179-243)
+requires its GDAL ingest chain, absent in this runtime; parity is
+established mathematically instead: the FFT path must equal the
+direct circular-autocovariance definition (Wiener-Khinchin), the
+alpha fit must recover a known exponential, and the maxvar VCM must
+reweight the stack exactly like a hand-built Biggs VCM."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from pyrate_spark.kernels.covariance import (_fmin_1d, autocov_grid,
+                                             cvd_from_series,
+                                             series_to_grid)
+from pyrate_spark.kernels.stack import stack_rate_pixel
+from pyrate_spark.kernels.vcm import get_vcmt
+
+
+def _brute_circular_acov(x, nzc):
+    n = len(x)
+    c = np.array([sum(x[i] * x[(i + k) % n] for i in range(n))
+                  for k in range(n)])
+    return np.fft.fftshift(c) / nzc
+
+
+class TestWienerKhinchin:
+    def test_fft_equals_direct_sum(self):
+        rng = np.random.RandomState(7)
+        x = rng.randn(64)
+        x[5] = x[30] = 0.0                       # zeroed gaps
+        nzc = int(np.count_nonzero(x))
+        got = autocov_grid(x, nzc)
+        want = _brute_circular_acov(x, nzc)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+    def test_odd_length(self):
+        rng = np.random.RandomState(11)
+        x = rng.randn(33)
+        got = autocov_grid(x, 33)
+        want = _brute_circular_acov(x, 33)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+    def test_maxvar_zero_lag_white_noise(self):
+        rng = np.random.RandomState(3)
+        x = rng.randn(256)
+        mv, _ = cvd_from_series(x, dt=1.0)
+        # white noise: zero-lag dominates, = sum(x^2)/nzc
+        assert mv == pytest.approx(float((x ** 2).sum()) / 256, rel=1e-12)
+
+    def test_nan_zeroed_like_reference(self):
+        rng = np.random.RandomState(5)
+        x = rng.randn(64)
+        x_nan = x.copy()
+        x_nan[10:14] = np.nan
+        x_zero = x.copy()
+        x_zero[10:14] = 0.0
+        mv_a, _ = cvd_from_series(x_nan, dt=1.0)
+        nzc = 60
+        acg = autocov_grid(x_zero, nzc)
+        keep = int(np.ceil(64 / 2.0)) + 1
+        assert mv_a == pytest.approx(float(acg[:keep].max()), rel=1e-12)
+
+
+class TestAlphaFit:
+    def test_fmin_recovers_exact_exponential_minimum(self):
+        r = np.arange(20, dtype=float) * 2.0
+        true_a = 0.17
+        cv = 3.5 * np.exp(-true_a * r)
+
+        def obj(a):
+            return float(np.linalg.norm(cv - cv[0] * np.exp(-a * r)))
+
+        got = _fmin_1d(obj, x0=2.0 / (19 * 2.0))
+        assert got == pytest.approx(true_a, abs=1e-4)
+
+    def test_alpha_from_ar1_series(self):
+        # AR(1): acov ~ sigma^2 rho^|k| = exp(-(-ln rho) k)
+        rng = np.random.RandomState(42)
+        rho, n = 0.75, 4096
+        x = np.zeros(n)
+        for i in range(1, n):
+            x[i] = rho * x[i - 1] + rng.randn()
+        _, alpha = cvd_from_series(x, dt=1.0, calc_alpha=True)
+        assert alpha == pytest.approx(-np.log(rho), rel=0.35)
+
+
+class TestSeriesToGrid:
+    def test_bucket_means_and_gaps(self):
+        ts = np.array([0, 100, 86400 * 2, 86400 * 2 + 1])
+        v = np.array([1.0, 3.0, 5.0, np.nan])
+        grid, t0 = series_to_grid(ts, v, 86400)
+        assert t0 == 0
+        np.testing.assert_allclose(grid[0], 2.0)     # mean(1, 3)
+        assert np.isnan(grid[1])                     # empty day
+        np.testing.assert_allclose(grid[2], 5.0)     # NaN obs skipped
+
+
+class TestMaxvarVCMWiring:
+    def test_stack_with_maxvar_vcm_matches_direct(self, spark):
+        from pyrate_spark.config import EngineConfig
+        from pyrate_spark.operators.grouped import stack_rate_per_url
+        from pyspark.sql import functions as F
+        base = dt.datetime(2024, 1, 1)
+        t = [base + dt.timedelta(days=30 * k) for k in range(5)]
+        vals = [1.0, 1.2, 0.8, 1.1]
+        spans = [30 / 365.25] * 4
+        rows = [("u", t[k], t[k + 1], vals[k], spans[k], 0.0, 4.0)
+                for k in range(4)]
+        pairs = spark.createDataFrame(
+            rows, "url string, ts_first timestamp, ts_second timestamp, "
+            "delta_value double, time_span double, nan_fraction double, "
+            "maxvar double")
+        cfg = EngineConfig(nsig=10 ** 9, pthr=1, velerror_nsig=1,
+                           salt_buckets=4, vcm_mode="maxvar")
+        got = stack_rate_per_url(pairs, cfg, use_mst=False).first()
+        fs = np.array([(x - base).total_seconds() for x in t[:4]])
+        ss = np.array([(x - base).total_seconds() for x in t[1:]])
+        from pyrate_spark.kernels.epochs import epochs_from_pairs
+        _, _, ifirst, isecond = epochs_from_pairs(fs, ss)
+        vcmt = get_vcmt(ifirst, isecond, np.full(4, 4.0))
+        rate, err, n = stack_rate_pixel(
+            np.array(vals), np.ones(4, bool), vcmt,
+            np.array(spans)[None, :], 10 ** 9, 1)
+        assert got["rate"] == pytest.approx(rate)
+        assert got["error"] == pytest.approx(err)
+        # and the weighting actually differs from identity
+        r2, e2, _ = stack_rate_pixel(
+            np.array(vals), np.ones(4, bool), np.eye(4),
+            np.array(spans)[None, :], 10 ** 9, 1)
+        assert e2 != pytest.approx(err)
