@@ -244,6 +244,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("nvalid").cast("long").alias("nvalid")))
     q["refpixel_argmin"] = q_refpixel_argmin
 
+    def q_refpixel_grid(spark, sf):
+        """A5 grid-faithful search: candidates = url cohorts (first url
+        char), layers = day buckets, per-layer population std with the
+        every-layer min-valid gate, score = mean of stds, global argmin
+        with ascending tie-break (refpixel.py:136-316)."""
+        from pyrate_spark.operators.refpixel import refpixel_grid_search
+        s = _events(spark, sf)
+        out = refpixel_grid_search(s, cohort_expr=F.substring("url", 1, 1),
+                                   bucket="1 day", min_valid=2)
+        return out.select("cohort", F.round("mean_sd", 5).alias("mean_sd"),
+                          F.col("n_layers").cast("long").alias("n_layers"))
+    q["refpixel_grid"] = q_refpixel_grid
+
+    def q_los_projection(spark, sf):
+        """P7: LOS -> vertical via per-row incidence angle."""
+        from pyrate_spark.operators.refpixel import los_project
+        s = _events(spark, sf).withColumn(
+            "incidence",
+            F.lit(0.3) + F.lit(0.5) * F.pmod(_u("warc_ts"), F.lit(100))
+            / F.lit(100.0))
+        out = los_project(s, "incidence", to="vertical")
+        return out.select("url", _u("warc_ts").alias("ts_unix"),
+                          F.round("value", 5).alias("value_vert"))
+    q["los_projection"] = q_los_projection
+
     def q_coh_stats(spark, sf):
         s = _events(spark, sf)
         return (s.groupBy("url")
@@ -326,6 +351,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", _u("epoch_ts").alias("epoch_unix"),
             F.round(_nn("tscuml"), 0).cast("long").alias("tscuml"))
     q["timeseries_chain"] = q_timeseries_chain
+
+    def q_timeseries_laplacian(spark, sf):
+        """T4 end-to-end: Laplacian-smoothed inversion (method 1) on the
+        first-4-epoch chain per url. With 3 velocity unknowns the system
+        is small enough that the oracle solves the same smoothed normal
+        equations by 3x3 Cramer in SQL. Both sides pass the result
+        through float32 (the kernel's output dtype) before rounding so
+        lstsq-vs-Cramer last-ulp noise collapses."""
+        s = _events(spark, sf, nulls=False)
+        w = Window.partitionBy("url").orderBy("warc_ts")
+        # spread epochs (1, 21, 41, 61): day-scale spans keep the
+        # smoothed system well-conditioned (the 3 smoothing/constraint
+        # rows annihilate constants, so s^2 terms carry the data)
+        s4 = (s.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn").isin(1, 21, 41, 61))
+              .withColumn("_n", F.count(F.lit(1))
+                          .over(Window.partitionBy("url")))
+              .where(F.col("_n") == 4).drop("_rn", "_n"))
+        p = sequential_pairs(s4)
+        cfg = EngineConfig(ts_method=1, ts_pthr=0, sm_order=2,
+                           sm_factor=-0.25, salt_buckets=16)
+        ts = timeseries_per_url(p, cfg, use_mst=False)
+        return ts.select(
+            "url", _u("epoch_ts").alias("epoch_unix"),
+            _nn(F.round(F.col("tscuml").cast("double"), 4)).alias("tscuml"))
+    q["timeseries_laplacian"] = q_timeseries_laplacian
 
     def q_mst_edge_count(spark, sf):
         """G1 invariant: spanning tree of a connected epoch network has
@@ -745,6 +796,112 @@ def oracle_sql() -> dict[str, str]:
           FROM ({ev}) GROUP BY url) t
         WHERE nvalid >= 10
         ORDER BY sd ASC NULLS LAST, url ASC LIMIT 1
+    """
+
+    o["refpixel_grid"] = f"""
+        WITH s AS (SELECT substr(url, 1, 1) AS cohort,
+                          CAST(epoch(date_trunc('second', warc_ts))
+                               AS BIGINT) // 86400 AS d, value
+                   FROM ({ev})),
+        L AS (SELECT count(DISTINCT d) AS n_layers FROM s),
+        per AS (SELECT cohort, d, stddev_pop(value) sd, count(value) nv
+                FROM s GROUP BY 1, 2),
+        cand AS (SELECT cohort, count(*) n_present,
+                        min(CASE WHEN nv > 2 THEN 1 ELSE 0 END) ok,
+                        avg(sd) mean_sd
+                 FROM per GROUP BY cohort)
+        SELECT cohort, round(mean_sd, 5) AS mean_sd, n_layers
+        FROM cand, L
+        WHERE ok = 1 AND n_present = n_layers
+        ORDER BY mean_sd ASC NULLS LAST, cohort ASC LIMIT 1
+    """
+
+    o["los_projection"] = f"""
+        SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_unix,
+               round(value / cos(0.3 + 0.5 *
+                     (CAST(epoch(warc_ts) AS BIGINT) % 100) / 100.0), 5)
+                   AS value_vert
+        FROM ({ev})
+    """
+
+    # T4 twin: the 4-epoch method-1 system has 3 unknowns; its smoothed
+    # normal equations solve by 3x3 Cramer. A rows: diag(s) data rows,
+    # f*[1,-2,1] (2nd-order Laplacian), [1,-1/2,-1/2], [-1/2,-1/2,1]
+    # (edge constraints, unscaled — reference timeseries.py:249-253).
+    _f = repr(10.0 ** -0.25)
+    o["timeseries_laplacian"] = f"""
+        WITH s AS (SELECT url, warc_ts, value,
+                          row_number() OVER (PARTITION BY url
+                                             ORDER BY warc_ts) rn
+                   FROM ({_events_sql(nulls=False)})),
+        s4 AS (SELECT * FROM s WHERE rn IN (1, 21, 41, 61)),
+        ok AS (SELECT url FROM s4 GROUP BY url HAVING count(*) = 4),
+        p AS (SELECT s4.url,
+                max(CASE WHEN rn = 1 THEN epoch(warc_ts) END) t0,
+                max(CASE WHEN rn = 21 THEN epoch(warc_ts) END) t1,
+                max(CASE WHEN rn = 41 THEN epoch(warc_ts) END) t2,
+                max(CASE WHEN rn = 61 THEN epoch(warc_ts) END) t3,
+                max(CASE WHEN rn = 1 THEN value END) v0,
+                max(CASE WHEN rn = 21 THEN value END) v1,
+                max(CASE WHEN rn = 41 THEN value END) v2,
+                max(CASE WHEN rn = 61 THEN value END) v3
+              FROM s4 JOIN ok USING (url) GROUP BY s4.url),
+        m AS (SELECT url, t0, t1, t2, t3,
+                (t1 - t0) / {YEAR_SECONDS} AS s1,
+                (t2 - t1) / {YEAR_SECONDS} AS s2,
+                (t3 - t2) / {YEAR_SECONDS} AS s3,
+                v1 - v0 AS d1, v2 - v1 AS d2, v3 - v2 AS d3,
+                CAST({_f} AS DOUBLE) * CAST({_f} AS DOUBLE) AS ff
+              FROM p),
+        nn AS (SELECT url, t0, t1, t2, t3, s1, s2, s3,
+                s1*s1 + ff + 1.25 AS a11,
+                -2*ff - 0.25      AS a12,
+                ff - 1            AS a13,
+                s2*s2 + 4*ff + 0.5 AS a22,
+                -2*ff - 0.25      AS a23,
+                s3*s3 + ff + 1.25 AS a33,
+                s1 * d1 AS c1, s2 * d2 AS c2, s3 * d3 AS c3
+              FROM m),
+        sol AS (SELECT url, t0, t1, t2, t3, s1, s2, s3,
+                 (c1*(a22*a33 - a23*a23) - a12*(c2*a33 - a23*c3)
+                  + a13*(c2*a23 - a22*c3)) / det AS v1,
+                 (a11*(c2*a33 - a23*c3) - c1*(a12*a33 - a23*a13)
+                  + a13*(a12*c3 - c2*a13)) / det AS v2,
+                 (a11*(a22*c3 - c2*a23) - a12*(a12*c3 - c2*a13)
+                  + c1*(a12*a23 - a22*a13)) / det AS v3
+                FROM (SELECT *,
+                        a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+                        + a13*(a12*a23 - a22*a13) AS det
+                      FROM nn)),
+        f32 AS (SELECT url, t0, t1, t2, t3, s1, s2, s3,
+                 CASE WHEN CAST(v1 AS FLOAT) = 0 THEN NULL
+                      ELSE CAST(v1 AS FLOAT) END AS v1f,
+                 CASE WHEN CAST(v2 AS FLOAT) = 0 THEN NULL
+                      ELSE CAST(v2 AS FLOAT) END AS v2f,
+                 CASE WHEN CAST(v3 AS FLOAT) = 0 THEN NULL
+                      ELSE CAST(v3 AS FLOAT) END AS v3f
+                FROM sol),
+        cum AS (SELECT url, t0, t1, t2, t3,
+                 CAST(CAST(v1f AS DOUBLE) * s1 AS FLOAT) AS i1,
+                 CAST(CAST(v2f AS DOUBLE) * s2 AS FLOAT) AS i2,
+                 CAST(CAST(v3f AS DOUBLE) * s3 AS FLOAT) AS i3
+                FROM f32),
+        cml AS (SELECT url, t0, t1, t2, t3, i1 AS u1,
+                 CAST(CAST(i1 AS DOUBLE) + CAST(i2 AS DOUBLE) AS FLOAT)
+                     AS u2
+                FROM cum),
+        cml2 AS (SELECT c.*, m2.i3,
+                  CAST(CAST(u2 AS DOUBLE) + CAST(m2.i3 AS DOUBLE)
+                       AS FLOAT) AS u3
+                 FROM cml c JOIN cum m2 USING (url, t0, t1, t2, t3))
+        SELECT url, CAST(t0 AS BIGINT) AS epoch_unix, 0.0 AS tscuml
+        FROM cml2
+        UNION ALL SELECT url, CAST(t1 AS BIGINT),
+                         round(CAST(u1 AS DOUBLE), 4) FROM cml2
+        UNION ALL SELECT url, CAST(t2 AS BIGINT),
+                         round(CAST(u2 AS DOUBLE), 4) FROM cml2
+        UNION ALL SELECT url, CAST(t3 AS BIGINT),
+                         round(CAST(u3 AS DOUBLE), 4) FROM cml2
     """
 
     o["coh_stats"] = f"""

@@ -19,12 +19,16 @@ EPSILON = 1e-20   # ref_phs_est.py:169-184 — keeps exact-0 values from
 
 def ref_phase_subtract(series: DataFrame, cfg: EngineConfig = DEFAULT,
                        ref_urls: DataFrame | None = None,
-                       bucket: str = "1 day") -> DataFrame:
+                       bucket: str = "1 day",
+                       min_valid: int = 1) -> DataFrame:
     """A3/A4 analog (ref_phs_est.py:98-166): subtract, per crawl batch
     (time bucket), the median value over a reference cohort of urls
     (default: all urls — the reference's method 1 uses all valid
-    pixels). The epsilon shim is applied exactly as the reference does.
-    One aggregation + one broadcast join — no per-key work."""
+    pixels). ``min_valid`` is method 2's half-patch validity gate
+    (ref_phs_est.py:35-95: a reference window with too few valid
+    samples contributes no correction): buckets below it keep their
+    values unshifted. One aggregation + one broadcast join — no
+    per-key work."""
     src = series
     if ref_urls is not None:
         cohort = series.join(F.broadcast(ref_urls), "url", "left_semi")
@@ -32,7 +36,8 @@ def ref_phase_subtract(series: DataFrame, cfg: EngineConfig = DEFAULT,
         cohort = series
     med = (cohort
            .groupBy(F.window("warc_ts", bucket).alias("w"))
-           .agg(F.median("value").alias("_ref_med"))
+           .agg(F.when(F.count("value") >= min_valid,
+                       F.median("value")).alias("_ref_med"))
            .select(F.col("w.start").alias("_wstart"), "_ref_med"))
     win = F.window("warc_ts", bucket)
     return (src.withColumn("_wstart", win["start"])

@@ -223,3 +223,28 @@ def test_gorilla_tier_roundtrip(spark):
         dec["bucket_start"].to_numpy(), src["bucket_start"].to_numpy())
     np.testing.assert_array_equal(
         dec["value_avg"].to_numpy(), src["value_avg"].to_numpy())
+
+
+def test_cell_size_and_los(spark):
+    from pyrate_spark.operators.refpixel import cell_size_metres, los_project
+    df = spark.createDataFrame([("a", 0.0, 10.0), ("b", 60.0, 10.0)],
+                               "url string, lat double, value double")
+    out = cell_size_metres(df, "lat", 0.001, 0.001).toPandas()
+    eq = out[out.url == "a"].iloc[0]
+    mid = out[out.url == "b"].iloc[0]
+    assert eq["x_size_m"] == pytest.approx(111.11111111, rel=1e-9)
+    assert mid["x_size_m"] == pytest.approx(111.11111111 * 0.5, rel=1e-9)
+    np.testing.assert_allclose(out["y_size_m"].to_numpy(), 111.11111111,
+                               rtol=1e-9)
+    los = los_project(
+        df.withColumn("inc", F.lit(np.pi / 3)), "inc").toPandas()
+    np.testing.assert_allclose(los["value"].to_numpy(), 20.0)  # /cos(60deg)
+
+
+def test_ref_phase_min_valid_gate(spark):
+    # a bucket below min_valid contributes NO correction (A4 gate)
+    s = _series(spark, {"a": [10.0], "b": [20.0]})
+    out = ref_phase_subtract(s, CFG, bucket="1 day",
+                             min_valid=3).toPandas()
+    got = sorted(round(v + EPSILON, 9) for v in out["value"])
+    assert got == [10.0, 20.0]         # unshifted
