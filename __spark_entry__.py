@@ -495,6 +495,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dd.jaccard_pairs(_docs(spark, sf), threshold=0.5)
     q["dedup_jaccard"] = q_dedup_jaccard
 
+    def q_dedup_jaccard_capped(spark, sf):
+        """DF-capped candidate generation (the 100 TB-safe path): tokens
+        in > max_df docs are excluded from the candidate join; emitted
+        scores remain exact full-set Jaccard."""
+        return dd.jaccard_pairs(_docs(spark, sf), threshold=0.5,
+                                max_df=100)
+    q["dedup_jaccard_capped"] = q_dedup_jaccard_capped
+
     def q_dedup_minhash_lsh(spark, sf):
         """md5 hash mode: DuckDB replays the WHOLE LSH pipeline
         (min-hash sigs -> band buckets -> candidates -> exact verify)
@@ -1154,6 +1162,31 @@ def oracle_sql() -> dict[str, str]:
         FROM shared JOIN sizes sa ON doc_a = sa.doc_id
                     JOIN sizes sb ON doc_b = sb.doc_id
         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """
+
+    o["dedup_jaccard_capped"] = r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(
+              regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        keep AS (SELECT tok FROM toks GROUP BY tok
+                 HAVING count(*) <= 100),
+        kt AS (SELECT t.doc_id, t.tok FROM toks t JOIN keep USING (tok)),
+        cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+                 FROM kt a JOIN kt b
+                   ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) n FROM toks GROUP BY doc_id),
+        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+                  FROM toks a JOIN toks b
+                    ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT c.doc_a, c.doc_b,
+               round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+        FROM cand c
+        JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.5
     """
 
     # --- MinHash LSH twin (md5 hash mode, seeds 42..57, 4 bands x 4) ---

@@ -52,25 +52,63 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
-                  threshold: float = 0.5) -> DataFrame:
-    """Exact token-set Jaccard over all candidate pairs that share at
-    least one token. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+                  threshold: float = 0.5,
+                  max_df: int | None = None) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs that share at least
+    one token. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``max_df`` caps the candidate join's token document-frequency: a
+    stopword token joins every doc against every doc (quadratic inside
+    its group — the 100 TB killer), so tokens in more than max_df docs
+    are dropped from CANDIDATE GENERATION only; surviving candidates
+    are verified with the exact full-set Jaccard, so emitted scores are
+    never approximated. The only pairs lost are those sharing nothing
+    but >max_df-frequency tokens — at a sane cap those sit far below
+    any useful threshold. The dropped-token count is logged."""
     toks = (docs
             .select("doc_id", F.explode(F.array_distinct(_tokens(text_col)))
                     .alias("tok"))
             .persist())   # self-joined below: persist or the subtree runs 3x
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    shared = (a.join(b, "tok")
-              .where(F.col("doc_a") < F.col("doc_b"))
-              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (shared.join(sa, "doc_a").join(sb, "doc_b")
+    if max_df is None:
+        sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+        b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+        shared = (a.join(b, "tok")
+                  .where(F.col("doc_a") < F.col("doc_b"))
+                  .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+        sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                          F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n").alias("nb"))
+        return (shared.join(sa, "doc_a").join(sb, "doc_b")
+                .select("doc_a", "doc_b",
+                        F.round(F.col("inter")
+                                / (F.col("na") + F.col("nb")
+                                   - F.col("inter")),
+                                6).alias("jaccard"))
+                .where(F.col("jaccard") >= threshold))
+    import logging
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    n_hot = dfreq.where(F.col("df") > max_df).count()
+    logging.getLogger(__name__).info(
+        "jaccard_pairs: dropping %d tokens with df > %d from candidate "
+        "generation", n_hot, max_df)
+    keep = (toks.join(dfreq.where(F.col("df") <= max_df).select("tok"),
+                      "tok"))
+    a = keep.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "tok")
+    cand = (a.join(b, "tok")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    sets = (docs.select("doc_id",
+                        F.array_distinct(_tokens(text_col)).alias("ts"))
+            .persist())
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tb"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .select("doc_a", "doc_b",
-                    F.round(F.col("inter")
-                            / (F.col("na") + F.col("nb") - F.col("inter")),
+                    F.round(F.size(F.array_intersect("ta", "tb"))
+                            / F.size(F.array_union("ta", "tb")),
                             6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 

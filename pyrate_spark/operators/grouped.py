@@ -49,29 +49,47 @@ from pyrate_spark.operators.udf_kernels import (make_linear_rate_fn,
 # bucketing / salting
 # --------------------------------------------------------------------------
 
-def salted_buckets(df: DataFrame, key: str = "url",
-                   n_buckets: int = 64, hot_factor: float = 20.0,
-                   detect_hot: bool = True) -> DataFrame:
-    """Append ``_bucket``: uniform hash bucket, except keys whose
-    row-count exceeds hot_factor x mean get dedicated buckets.
-
-    ``detect_hot`` runs one counting aggregation over the input — worth
-    it on raw skewed observations, wasted on derived frames whose
-    per-key row count is bounded (e.g. inversion output: one row per
-    epoch). It also re-executes the upstream DAG when the input is not
-    persisted — callers chaining grouped stages should persist the
-    intermediate or pass detect_hot=False."""
-    if not detect_hot:
-        return df.withColumn(
-            "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+def detect_hot_keys(df: DataFrame, key: str = "url",
+                    hot_factor: float = 20.0) -> tuple:
+    """One counting aggregation -> the (tiny, sorted) set of keys whose
+    row-count exceeds hot_factor x mean. Compute this ONCE per pipeline
+    and thread the result through every grouped stage via ``hot_keys``
+    instead of paying a detection pass per stage."""
     counts = df.groupBy(key).count()
     stats = counts.agg(F.avg("count").alias("mean")).first()
     mean = stats["mean"] or 1.0
-    hot = (counts.where(F.col("count") > F.lit(hot_factor * mean))
-           .select(key).withColumn(
-               "_hot_bucket",
-               F.lit(n_buckets) + F.row_number().over(
-                   Window.orderBy(key)) - 1))
+    rows = (counts.where(F.col("count") > F.lit(hot_factor * mean))
+            .select(key).collect())       # tiny by construction
+    return tuple(sorted(r[0] for r in rows))
+
+
+def salted_buckets(df: DataFrame, key: str = "url",
+                   n_buckets: int = 64, hot_factor: float = 20.0,
+                   detect_hot: bool = True,
+                   hot_keys: tuple | None = None) -> DataFrame:
+    """Append ``_bucket``: uniform hash bucket, except keys whose
+    row-count exceeds hot_factor x mean get dedicated buckets.
+
+    ``hot_keys`` supplies a precomputed hot set (see detect_hot_keys);
+    otherwise ``detect_hot`` runs one counting aggregation over the
+    input — worth it on raw skewed observations, wasted on derived
+    frames whose per-key row count is bounded (e.g. inversion output:
+    one row per epoch). Detection re-executes the upstream DAG when the
+    input is not persisted — callers chaining grouped stages should
+    persist the intermediate, pass hot_keys, or detect_hot=False.
+    Dedicated bucket ids come from the driver-side enumeration of the
+    hot set (no global-window shuffle-to-one-partition)."""
+    if hot_keys is None:
+        if not detect_hot:
+            hot_keys = ()
+        else:
+            hot_keys = detect_hot_keys(df, key, hot_factor)
+    if not hot_keys:
+        return df.withColumn(
+            "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+    hot = df.sparkSession.createDataFrame(
+        [(k, n_buckets + i) for i, k in enumerate(hot_keys)],
+        df.select(key).schema.add("_hot_bucket", "long"))
     return (df.join(F.broadcast(hot), key, "left")
             .withColumn(
                 "_bucket",
@@ -82,7 +100,8 @@ def salted_buckets(df: DataFrame, key: str = "url",
 
 
 def _bucketed(df: DataFrame, key: str, n_buckets: int,
-              detect_hot: bool = True) -> DataFrame:
+              detect_hot: bool = True,
+              hot_keys: tuple | None = None) -> DataFrame:
     """Salt + explicit repartition on the bucket. The explicit
     ``repartition(n, _bucket)`` matters at every scale: AQE's byte-based
     partition coalescing would fold a small-byte but compute-heavy
@@ -102,7 +121,8 @@ def _bucketed(df: DataFrame, key: str, n_buckets: int,
     spark_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     parts = spark_parts * 2
     n_buckets = max(n_buckets, parts * 8)
-    return (salted_buckets(df, key, n_buckets, detect_hot=detect_hot)
+    return (salted_buckets(df, key, n_buckets, detect_hot=detect_hot,
+                           hot_keys=hot_keys)
             .repartition(parts, "_bucket"))
 
 
@@ -140,7 +160,8 @@ MST_SCHEMA = ("url string, ts_first timestamp, ts_second timestamp, "
 def timeseries_per_url(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                        use_mst: bool = True,
                        n_buckets: Optional[int] = None,
-                       detect_hot: bool = True) -> DataFrame:
+                       detect_hot: bool = True,
+                       hot_keys: Optional[tuple] = None) -> DataFrame:
     """Pairwise observations -> per-epoch incremental/cumulative series
     per url (timeseries.py:111-157 recast per key). One row per
     (url, epoch), the zero epoch included (tscuml=0)."""
@@ -148,20 +169,21 @@ def timeseries_per_url(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                             cfg.sm_factor, use_mst,
                             getattr(cfg, "vcm_mode", "identity"))
     return (_bucketed(pairs, "url", n_buckets or cfg.salt_buckets,
-                      detect_hot)
+                      detect_hot, hot_keys)
             .groupBy("_bucket").applyInPandas(fn, TS_SCHEMA))
 
 
 def stack_rate_per_url(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                        use_mst: bool = True,
                        n_buckets: Optional[int] = None,
-                       detect_hot: bool = True) -> DataFrame:
+                       detect_hot: bool = True,
+                       hot_keys: Optional[tuple] = None) -> DataFrame:
     """Iterative WLS stacking per url (stack.py:92-165); ``error`` is
     scaled by velerror_nsig (stack.py:60)."""
     fn = make_stack_fn(cfg.nsig, cfg.pthr, float(cfg.velerror_nsig),
                        use_mst, getattr(cfg, "vcm_mode", "identity"))
     return (_bucketed(pairs, "url", n_buckets or cfg.salt_buckets,
-                      detect_hot)
+                      detect_hot, hot_keys)
             .groupBy("_bucket").applyInPandas(fn, STACK_SCHEMA))
 
 
@@ -209,10 +231,11 @@ def temporal_highpass_per_url(series: DataFrame,
 
 def mst_annotate(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                  n_buckets: Optional[int] = None,
-                 detect_hot: bool = True) -> DataFrame:
+                 detect_hot: bool = True,
+                 hot_keys: Optional[tuple] = None) -> DataFrame:
     """Annotate each observation with its key's MST membership
     (mst.py:146-170 boolean cube -> boolean column)."""
     fn = make_mst_fn()
     return (_bucketed(pairs, "url", n_buckets or cfg.salt_buckets,
-                      detect_hot)
+                      detect_hot, hot_keys)
             .groupBy("_bucket").applyInPandas(fn, MST_SCHEMA))

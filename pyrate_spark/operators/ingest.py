@@ -37,30 +37,41 @@ PAGES_OUT = ("url string, warc_ts timestamp, html binary, text string, "
 
 def write_segments(pages: DataFrame, out_dir: str,
                    segment: str = "1 day") -> int:
-    """Serialise pages into per-window binary segment files (the test
-    fixture writer — production data arrives in this shape). Returns
-    the number of segments written."""
+    """Serialise pages into per-window binary segment files. Fully
+    distributed: one grouped-map task per segment window writes its own
+    file (atomic tmp+rename), nothing is collected to the driver.
+    Executors must share a filesystem at ``out_dir`` — true in local
+    mode and on clusters with NFS / fuse-mounted object stores; a pure
+    HDFS deployment would swap the open() for the Hadoop FS API.
+    Returns the number of segments written."""
     import os
     os.makedirs(out_dir, exist_ok=True)
     win = F.window("warc_ts", segment)
-    rows = (pages
-            .withColumn("_seg", F.date_format(win["start"],
-                                              "yyyyMMddHHmmss"))
-            .select("_seg", "url",
-                    F.unix_timestamp("warc_ts").alias("ts_unix"),
-                    "lang", "text")
-            .collect())
-    segs: dict[str, list] = {}
-    for r in rows:
-        segs.setdefault(r["_seg"], []).append(r)
-    for seg, rs in segs.items():
+    src = (pages
+           .withColumn("_seg", F.date_format(win["start"],
+                                             "yyyyMMddHHmmss"))
+           .select("_seg", "url",
+                   F.unix_timestamp("warc_ts").alias("ts_unix"),
+                   "lang", "text"))
+
+    def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        seg = pdf["_seg"].iloc[0]
+        rs = pdf.sort_values(["url", "ts_unix"])
         body = "".join(
-            f"{r['url']}{SEP}{r['ts_unix']}{SEP}{r['lang']}{SEP}{r['text']}\n"
-            for r in sorted(rs, key=lambda x: (x["url"], x["ts_unix"])))
+            f"{u}{SEP}{t}{SEP}{l}{SEP}{x}\n"
+            for u, t, l, x in zip(rs["url"], rs["ts_unix"],
+                                  rs["lang"], rs["text"]))
         payload = body.encode("utf-8") + f"#count={len(rs)}\n".encode()
-        with open(f"{out_dir}/segment-{seg}.bin", "wb") as f:
+        tmp = f"{out_dir}/.segment-{seg}.tmp"
+        with open(tmp, "wb") as f:
             f.write(payload)
-    return len(segs)
+        _os.replace(tmp, f"{out_dir}/segment-{seg}.bin")
+        return pd.DataFrame({"seg": [seg], "n": [len(rs)]})
+
+    res = (src.repartition("_seg").groupBy("_seg")
+           .applyInPandas(write_one, "seg string, n long"))
+    return res.count()
 
 
 def read_segments(spark: SparkSession, path: str) -> DataFrame:
