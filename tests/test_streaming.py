@@ -77,3 +77,90 @@ def test_streaming_matches_batch_and_handles_late_data(spark, tmp_path):
     import numpy as np
     np.testing.assert_allclose(bdf["value_avg"].astype(float),
                                gdf["value_avg"].astype(float))
+
+
+TIER_DDL = "url string, bucket_start timestamp, value_avg double"
+
+
+def _tier_rows(spec):
+    return [(u, BASE + dt.timedelta(hours=h),
+             float(v) if v is not None else None) for u, h, v in spec]
+
+
+def test_streaming_gapfill_matches_batch(spark, tmp_path):
+    """Stateful LOCF across micro-batches == batch gapfill_tier on the
+    same (in-order) data."""
+    from pyrate_spark.operators.rollup import gapfill_tier
+    from pyrate_spark.streaming.gapfill import streaming_gapfill_locf
+
+    src = str(tmp_path / "gsrc")
+    out = str(tmp_path / "gout")
+    ckpt = str(tmp_path / "gckpt")
+
+    batch1 = _tier_rows([
+        ("a", 0, 1.0), ("a", 1, None), ("a", 4, 5.0),   # holes 2,3
+        ("b", 0, 10.0),
+    ])
+    batch2 = _tier_rows([
+        ("a", 7, 9.0),                                   # holes 5,6 span
+        ("b", 2, 20.0),                                  # hole 1
+    ])
+
+    def run(rows):
+        spark.createDataFrame(rows, TIER_DDL).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(TIER_DDL)
+                  .option("maxFilesPerTrigger", "8").parquet(src))
+        q = (streaming_gapfill_locf(stream, 3600)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run(batch1)
+    run(batch2)
+
+    got = (spark.read.parquet(out)
+           .orderBy("url", "bucket_start")
+           .select("url", "bucket_start", "value_filled").toPandas())
+    want = (gapfill_tier(
+        spark.createDataFrame(batch1 + batch2, TIER_DDL), "1 hour",
+        method="locf")
+        .orderBy("url", "bucket_start")
+        .select("url", "bucket_start", "value_filled").toPandas())
+    assert len(got) == len(want)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["bucket_start"].tolist() == want["bucket_start"].tolist()
+    import numpy as np
+    g = got["value_filled"].to_numpy(dtype=float)
+    w = want["value_filled"].to_numpy(dtype=float)
+    assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+
+
+def test_streaming_gapfill_drops_behind_frontier(spark, tmp_path):
+    """A bucket older than the state frontier is dropped, not
+    re-emitted (the stateful watermark analog)."""
+    from pyrate_spark.streaming.gapfill import streaming_gapfill_locf
+
+    src = str(tmp_path / "fsrc")
+    out = str(tmp_path / "fout")
+    ckpt = str(tmp_path / "fckpt")
+
+    def run(rows):
+        spark.createDataFrame(rows, TIER_DDL).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(TIER_DDL)
+                  .option("maxFilesPerTrigger", "8").parquet(src))
+        q = (streaming_gapfill_locf(stream, 3600)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run(_tier_rows([("a", 3, 4.0)]))
+    run(_tier_rows([("a", 1, 99.0), ("a", 5, 6.0)]))    # hour 1 is late
+    got = (spark.read.parquet(out).orderBy("bucket_start").toPandas())
+    hours = [(t - BASE).total_seconds() / 3600
+             for t in got["bucket_start"]]
+    assert hours == [3.0, 4.0, 5.0]                      # no hour-1 row
+    assert got["value_filled"].tolist() == [4.0, 4.0, 6.0]
