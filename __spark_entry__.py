@@ -2,14 +2,18 @@
 
 ``entry(spark)`` runs the flagship pipeline at sf0.001; ``queries()``
 exposes one callable per implemented operator from SURVEY.md §2 (plus
-the training-data-pipeline suite) — 39 queries, 33 with exact DuckDB
-oracles (the 6 rows-only ones are genuinely non-SQL: seeded-hash LSH
-bucketing, plane projections, data-dependent Gaussian windows, stubbed
-decode). ``oracle_sql()`` gives the DuckDB twin for every
-SQL-expressible query. Numeric outputs are rounded
-identically on both sides (regression-scale values to 3dp, value-scale
-to 5dp, ratios to 6dp) and timestamps are emitted as unix-seconds
-bigints so hashing is robust to timezone/precision representation.
+the training-data-pipeline suite) — 47 queries, every one with a
+DuckDB oracle in ``oracle_sql()``: exact value twins where the math is
+SQL-expressible (including the md5-hash-mode LSH pipelines, the FFT
+autocovariance via a modular self-join, and the 4-epoch Laplacian
+inversion via 3x3 Cramer), and measured-recall gate tables for the
+ANN paths whose hash geometry SQL cannot replay. Numeric outputs are
+rounded identically on both sides (regression-scale values to 3dp,
+value-scale to 5dp, ratios to 6dp); float32 kernel outputs pass
+through an explicit float32 cast on BOTH sides before rounding so
+solver last-ulp noise collapses; timestamps are emitted as
+unix-seconds bigints so hashing is robust to timezone/precision
+representation.
 
 The time-series stand-in over the driver tables: events(user_id, ts,
 value) with url = cast(user_id as string), warc_ts = second-truncated
@@ -415,6 +419,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return closure_loop_counts(p, EngineConfig(salt_buckets=16),
                                    loop_length=3)
     q["closure_triangles"] = q_closure_triangles
+
+    def q_orbital_network(spark, sf):
+        """T16 on the chain network: the joint per-epoch inversion is
+        exactly determined, so fitted offsets equal the cumulative
+        deltas (= value - first value, integer-exact with the floored
+        series) and every corrected residual is 0."""
+        from pyrate_spark.operators.corrections import orbital_network
+        s = _events(spark, sf, nulls=False, floor_value=True)
+        p = sequential_pairs(s)
+        out = orbital_network(p, EngineConfig(salt_buckets=16),
+                              use_mst=False)
+        return out.select(
+            "url", _u("ts_first").alias("first_unix"),
+            _u("ts_second").alias("second_unix"),
+            (F.round("delta_corrected", 5) + F.lit(0.0)).alias("corrected"),
+            F.round("o_second", 0).cast("long").alias("o_second"))
+    q["orbital_network"] = q_orbital_network
 
     def q_closure_fixpoint(spark, sf):
         """G6 iterative closure check run with no-breach parameters
@@ -1047,6 +1068,19 @@ def oracle_sql() -> dict[str, str]:
         urls AS (SELECT DISTINCT url FROM p)
         SELECT u.url, coalesce(t.n, 0) AS n_loops
         FROM urls u LEFT JOIN tri t ON u.url = t.url
+    """
+
+    o["orbital_network"] = f"""
+        WITH s AS (SELECT url, warc_ts, value,
+                          first_value(value) OVER w AS v0,
+                          lag(warc_ts) OVER w AS pts
+                   FROM ({ev_chain})
+                   WINDOW w AS (PARTITION BY url ORDER BY warc_ts))
+        SELECT url, CAST(epoch(pts) AS BIGINT) AS first_unix,
+               CAST(epoch(warc_ts) AS BIGINT) AS second_unix,
+               0.0 AS corrected,
+               CAST(round(value - v0, 0) AS BIGINT) AS o_second
+        FROM s WHERE pts IS NOT NULL
     """
 
     o["closure_fixpoint"] = f"""

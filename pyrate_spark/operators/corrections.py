@@ -160,6 +160,25 @@ def maxvar_full(series: DataFrame, cfg: EngineConfig = DEFAULT,
             .groupBy("_bucket").applyInPandas(fn, schema))
 
 
+def orbital_network(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
+                    use_mst: bool = True,
+                    n_buckets: int | None = None) -> DataFrame:
+    """T16 (orbital.py:303-428): joint per-epoch nuisance inversion
+    across the key's whole observation network — fit on the MST subset
+    (or all valid pairs), subtract the forward model from every pair.
+    Emits the pairs with `delta_corrected` plus the fitted per-epoch
+    offsets on both ends (o_first/o_second). Kernel semantics:
+    operators/udf_kernels.make_orbnet_fn."""
+    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.operators.udf_kernels import make_orbnet_fn
+    schema = ("url string, ts_first timestamp, ts_second timestamp, "
+              "delta_corrected double, o_first double, o_second double")
+    nb = n_buckets or cfg.salt_buckets
+    return (_bucketed(pairs, "url", nb, detect_hot=False)
+            .groupBy("_bucket").applyInPandas(make_orbnet_fn(use_mst),
+                                              schema))
+
+
 def closure_mask(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                  n_buckets: int | None = None) -> DataFrame:
     """G3-G6 + A8 + P5: enumerate closed loops per key, sum signed

@@ -247,6 +247,56 @@ def make_temporal_hp_fn(cutoff_days: int, pthr: int, value_col: str,
     return fn
 
 
+def make_orbnet_fn(use_mst: bool):
+    """T16 network orbital fit (orbital.py:303-428): estimate one
+    nuisance parameter per EPOCH jointly from the key's whole pair
+    network (the reference fits per-epoch polynomial coefficients from
+    the MST-selected ifgs and subtracts the forward model from every
+    ifg; the per-key graft's per-epoch term is the offset o_e with
+    o_0 pinned to 0 — the reference's dropped-first-epoch convention,
+    orbital.py:334-341). Model: delta(i,j) ~ o_j - o_i, solved by
+    min-norm lstsq over the fit subset (MST or all valid), then
+    corrected = delta - (o_j - o_i) for EVERY pair."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
+        corr = np.full(len(pdf), np.nan)
+        o_first = np.full(len(pdf), np.nan)
+        o_second = np.full(len(pdf), np.nan)
+        for url, idx in group_slices(pdf):
+            idx = _sorted_key_rows(first_all, second_all, idx)
+            fs, ss = first_all[idx], second_all[idx]
+            phase, weight = phase_all[idx], weight_all[idx]
+            dates, spans, ifirst, isecond = epochs_from_pairs(fs, ss)
+            nep = len(dates)
+            if nep < 2:
+                continue
+            if use_mst:
+                sel = mst_select_pixel(phase, fs.tolist(), ss.tolist(),
+                                       weight.tolist())
+            else:
+                sel = ~np.isnan(phase)
+            B = np.zeros((len(idx), nep - 1))
+            for k in range(len(idx)):
+                if isecond[k] > 0:
+                    B[k, isecond[k] - 1] += 1.0
+                if ifirst[k] > 0:
+                    B[k, ifirst[k] - 1] -= 1.0
+            if sel.sum() == 0:
+                continue
+            coef = np.linalg.lstsq(B[sel], phase[sel], rcond=None)[0]
+            o = np.concatenate(([0.0], coef))
+            fit = B @ coef
+            corr[idx] = phase - fit
+            o_first[idx] = o[ifirst]
+            o_second[idx] = o[isecond]
+        out = pdf[["url", "ts_first", "ts_second"]].copy()
+        out["delta_corrected"] = corr
+        out["o_first"] = o_first
+        out["o_second"] = o_second
+        return out
+    return fn
+
+
 def make_mst_fn():
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)

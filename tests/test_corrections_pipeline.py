@@ -248,3 +248,44 @@ def test_ref_phase_min_valid_gate(spark):
                              min_valid=3).toPandas()
     got = sorted(round(v + EPSILON, 9) for v in out["value"])
     assert got == [10.0, 20.0]         # unshifted
+
+
+def test_orbital_network_overdetermined(spark):
+    """T16 joint inversion on a redundant network equals the direct
+    numpy lstsq, and MST-subset fitting differs from all-pairs when
+    the extra edge is noisy."""
+    from pyrate_spark.operators.corrections import orbital_network
+    t = [BASE + dt.timedelta(days=10 * k) for k in range(4)]
+    o_true = [0.0, 2.0, 3.0, 7.0]
+    # chain edges exact; skip edge (t0,t2) carries +1.5 noise
+    rows = [("u", t[0], t[1], 2.0, 10 / 365.25, 0.0),
+            ("u", t[1], t[2], 1.0, 10 / 365.25, 0.0),
+            ("u", t[2], t[3], 4.0, 10 / 365.25, 0.0),
+            ("u", t[0], t[2], 3.0 + 1.5, 20 / 365.25, 0.0)]
+    pairs = spark.createDataFrame(
+        rows, "url string, ts_first timestamp, ts_second timestamp, "
+        "delta_value double, time_span double, nan_fraction double")
+    out = (orbital_network(pairs, EngineConfig(salt_buckets=4),
+                           use_mst=False)
+           .toPandas().sort_values(["ts_first", "ts_second"])
+           .reset_index(drop=True))
+    # direct lstsq twin
+    B = np.zeros((4, 3))
+    d = np.array([2.0, 1.0, 4.0, 4.5])
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2)]
+    for k, (i, j) in enumerate(edges):
+        if j > 0:
+            B[k, j - 1] += 1
+        if i > 0:
+            B[k, i - 1] -= 1
+    coef = np.linalg.lstsq(B, d, rcond=None)[0]
+    want = d - B @ coef
+    got = out.sort_values(["ts_first", "ts_second"])
+    key = list(zip(got["ts_first"].dt.day, got["ts_second"].dt.day))
+    want_by_key = {(t[i].day, t[j].day): want[k]
+                   for k, (i, j) in enumerate(edges)}
+    for k, kk in enumerate(key):
+        assert got["delta_corrected"].iloc[k] == pytest.approx(
+            want_by_key[kk], abs=1e-9)
+    # noisy edge spreads: residuals non-zero on the affected loop
+    assert np.abs(want).max() > 0.3
