@@ -81,17 +81,20 @@ def network_pairs(series: DataFrame, max_span_days: int = 90,
         F.col("warc_ts").alias("ts_first"),
         F.col(value_col).alias("v_first"),
         "nan_fraction")
+    # the right side renames its key: both frames share lineage, and a
+    # same-named Column equality would lean on Spark's dataset-id
+    # disambiguation (it works but warns 'trivially true predicate')
     b = base.select(
-        "url",
+        F.col("url").alias("_url_b"),
         F.col("warc_ts").alias("ts_second"),
         F.col(value_col).alias("v_second"))
     joined = a.join(
         b,
-        on=[a.url == b.url,
+        on=[F.col("url") == F.col("_url_b"),
             F.col("ts_second") > F.col("ts_first"),
             F.col("ts_second") <= F.col("ts_first")
             + F.expr(f"INTERVAL {max_span_days} DAYS")],
-        how="inner").drop(b.url)
+        how="inner").drop("_url_b")
     rk = Window.partitionBy("url", "ts_first").orderBy("ts_second")
     return (joined
             .withColumn("_rk", F.row_number().over(rk))

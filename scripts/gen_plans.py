@@ -69,6 +69,55 @@ add("Per-url inversion (grouped-map kernel)",
                        EngineConfig(salt_buckets=64), use_mst=False,
                        detect_hot=False))
 
+add("Gap-filled grid (T17)",
+    "sequence()+explode materialises the grid JVM-side; grid and tier "
+    "co-shuffle on url once and the LOCF window reuses that partitioning "
+    "— one Exchange for the whole fill.",
+    gapfill_tier(tier_rollup(series, "1 hour", 0.5), "1 hour"))
+
+import pandas as _pd
+docs_pdf = _pd.DataFrame({
+    "doc_id": range(40),
+    "text": [f"alpha beta gamma delta {i} {i%7} epsilon" for i in range(40)]})
+docs = spark.createDataFrame(docs_pdf)
+from pyrate_spark.operators.dedup import minhash_lsh_pairs, jaccard_pairs
+add("MinHash LSH near-dup (band-bucket join)",
+    "Signatures are k min() aggs in ONE pass over one exploded shingle "
+    "set; candidates come from the (band,bucket) equi-self-join — "
+    "sub-quadratic; the exact verify touches candidates only.",
+    minhash_lsh_pairs(docs, threshold=0.5))
+
+add("DF-capped exact Jaccard (candidate join)",
+    "The candidate join excludes tokens with document frequency above "
+    "max_df (the stopword quadratic-blowup guard); scores come from the "
+    "exact full-set verify on survivors.",
+    jaccard_pairs(docs, threshold=0.5, max_df=20))
+
+from pyrate_spark.operators.similarity import lsh_topk_multi
+emb = spark.createDataFrame(_pd.DataFrame({
+    "vec_id": range(40),
+    "embedding": [[float((i * 7 + j) % 13) for j in range(8)]
+                  for i in range(40)]}))
+add("Multi-table LSH ANN (signature equi-join + rerank)",
+    "All L signatures from one matmul per Arrow batch (one ArrowEval "
+    "node); the candidate equi-join broadcasts the tiny query side; the "
+    "rerank's window reuses the join output partitioning.",
+    lsh_topk_multi(emb, [0, 1], k=3, n_tables=4, planes_per_table=4))
+
+from pyrate_spark.operators.corrections import closure_fixpoint, maxvar_full
+add("Closure fixpoint (G6, grouped-map)",
+    "The iterate-until-stable loop runs INSIDE the kernel (per-key graph "
+    "work): one salt + one user repartition + one FlatMapGroupsInPandas, "
+    "regardless of how many iterations each key needs.",
+    closure_fixpoint(network_pairs(series, 2, 3),
+                     EngineConfig(salt_buckets=16)))
+
+add("FFT maxvar (A11, grouped-map)",
+    "Per-key regular-grid autocovariance: same single-exchange grouped-map "
+    "shape; output is one row per key (tiny), safe to broadcast-join back "
+    "onto pairs for vcm_mode='maxvar'.",
+    maxvar_full(series, EngineConfig(salt_buckets=16), calc_alpha=False))
+
 spark.sql("DROP TABLE IF EXISTS plans_b")
 shutil.rmtree("/tmp/pyrate-spark-warehouse/plans_b", ignore_errors=True)
 write_bucketed(series, "plans_b", n_buckets=4)

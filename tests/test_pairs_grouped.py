@@ -229,3 +229,44 @@ class TestSaltedBuckets:
         assert b >= 8                  # dedicated bucket id
         assert b not in cold_buckets
         assert max(cold_buckets) < 8
+
+
+def test_pair_lookup_broadcast_join(spark):
+    """J2: composite-key lookup returns exactly the wanted pairs."""
+    import datetime as dt
+    from pyrate_spark.operators.pairs import pair_lookup
+    base = dt.datetime(2024, 1, 1)
+    t = [base + dt.timedelta(days=k) for k in range(4)]
+    pairs = spark.createDataFrame(
+        [("u", t[0], t[1], 1.0), ("u", t[1], t[2], 2.0),
+         ("v", t[0], t[1], 3.0)],
+        "url string, ts_first timestamp, ts_second timestamp, "
+        "delta_value double")
+    wanted = spark.createDataFrame(
+        [(t[0], t[1])], "ts_first timestamp, ts_second timestamp")
+    got = pair_lookup(pairs, wanted).toPandas()
+    assert sorted(got["url"]) == ["u", "v"]
+    assert (got["delta_value"].isin([1.0, 3.0])).all()
+    # broadcast side is in the plan
+    plan = pair_lookup(pairs, wanted)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Broadcast" in plan
+
+
+def test_file_pairing_uniqueness_gate(spark):
+    """J4/S10: aux join with the reference's duplicate-match error
+    (prepifg_helper.py:405-433)."""
+    import datetime as dt
+    import pytest
+    from pyrate_spark.operators.pairs import file_pairing
+    base = dt.datetime(2024, 1, 1)
+    obs = spark.createDataFrame(
+        [("u", base, 1.0)], "url string, warc_ts timestamp, value double")
+    aux = spark.createDataFrame(
+        [(base, "f1")], "warc_ts timestamp, fname string")
+    got = file_pairing(obs, aux, ["warc_ts"]).toPandas()
+    assert got["fname"].tolist() == ["f1"]
+    dup = spark.createDataFrame(
+        [(base, "f1"), (base, "f2")], "warc_ts timestamp, fname string")
+    with pytest.raises(ValueError, match="duplicate auxiliary"):
+        file_pairing(obs, dup, ["warc_ts"])
