@@ -603,6 +603,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         (F.col("recall") >= 0.79).alias("recall_ok"))
     q["knn_lsh"] = q_knn_lsh
 
+    def q_dedup_cosine(spark, sf):
+        """Embedding-cosine near-dup (brute exact baseline — the scale
+        path is method='lsh', candidate-bucketed, whose machinery the
+        knn_lsh recall gate covers)."""
+        out = sim.cosine_near_pairs(_emb(spark, sf), threshold=0.25)
+        return out.select(F.col("id_a").cast("long").alias("id_a"),
+                          F.col("id_b").cast("long").alias("id_b"),
+                          "cosine")
+    q["dedup_cosine"] = q_dedup_cosine
+
     def q_multimodal_features(spark, sf):
         """Stubbed decode is sha256-deterministic, so the oracle
         recomputes the identical feature bytes in DuckDB. posexplode to
@@ -1429,6 +1439,18 @@ def oracle_sql() -> dict[str, str]:
                      / 4294967296, 9) AS feat_val,
                true AS decode_ok
         FROM p
+    """
+
+    o["dedup_cosine"] = """
+        SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+               CAST(b.vec_id AS BIGINT) AS id_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
     """
 
     # ANN recall gates: the Spark query computes recall@5 vs its own

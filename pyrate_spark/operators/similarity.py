@@ -190,6 +190,47 @@ def ivf_topk_kmeans(embeddings: DataFrame, query_ids, k: int = 5,
             .where(F.col("rank") <= k))
 
 
+def cosine_near_pairs(embeddings: DataFrame, threshold: float = 0.25,
+                      method: str = "brute", id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      n_tables: int = 24,
+                      planes_per_table: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and rounded cosine >= threshold.
+
+    method='brute' is the exact all-pairs baseline (the oracle path —
+    quadratic, fine for verification scale); method='lsh' routes
+    candidate generation through the multi-table hyperplane signatures
+    (same trade as lsh_topk_multi) and exact-verifies survivors — the
+    10^12-row path, where all-pairs is impossible."""
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("va"))
+    if method == "brute":
+        b = embeddings.select(F.col(id_col).alias("id_b"),
+                              F.col(vec_col).alias("vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        sig = lsh_multi_signatures(embeddings, n_tables, planes_per_table,
+                                   vec_col=vec_col)
+        sa = sig.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"), "lsh_table",
+                        F.col("lsh_sig").alias("sig_a"))
+        sb = sig.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"),
+                        F.col("lsh_table").alias("tbl_b"),
+                        F.col("lsh_sig").alias("sig_b"))
+        cand = (sa.join(sb, (F.col("lsh_table") == F.col("tbl_b"))
+                        & (F.col("sig_a") == F.col("sig_b"))
+                        & (F.col("id_a") < F.col("id_b")))
+                .dropDuplicates(["id_a", "id_b"]))
+    else:
+        raise ValueError(f"unknown method {method}")
+    cos = F.round(_dot(F.col("va"), F.col("vb"))
+                  / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+    return (cand.select("id_a", "id_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
 def recall_vs_bruteforce(approx: DataFrame, exact: DataFrame,
                          k: int = 5) -> DataFrame:
     """(query_id, recall) — fraction of the exact top-k the approximate

@@ -170,3 +170,36 @@ def checkpointed_run(df: DataFrame, out_dir: str,
 
 def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).drop(BUCKET_COL)
+
+
+def read_result_pruned(spark: SparkSession, out_dir: str,
+                       params_hash: str,
+                       metric_min: float | None = None,
+                       metric_max: float | None = None) -> DataFrame:
+    """Manifest-based data skipping (the Iceberg snapshot-stats role,
+    S6): each bucket's manifest carries the min/max of its primary
+    metric column; a value-range query reads ONLY buckets whose
+    [metric_min, metric_max] interval intersects the requested range.
+    Returns the possibly-superset rows of the matching buckets — the
+    caller still applies the exact row filter; pruning just avoids
+    touching files that cannot contain matches (at cluster scale this
+    is the table format's manifest pruning; the JSON manifests keep the
+    same contract without an Iceberg runtime)."""
+    done = completed_buckets(out_dir, params_hash)
+    keep = []
+    for b, row in done.items():
+        lo = row.get("metric_min")
+        hi = row.get("metric_max")
+        if lo is None or hi is None:
+            keep.append(b)               # no stats -> cannot skip
+            continue
+        if metric_min is not None and hi < metric_min:
+            continue
+        if metric_max is not None and lo > metric_max:
+            continue
+        keep.append(b)
+    if not keep:
+        return (spark.read.parquet(out_dir)
+                .where(F.lit(False)).drop(BUCKET_COL))
+    paths = [os.path.join(out_dir, f"{BUCKET_COL}={b}") for b in keep]
+    return spark.read.parquet(*paths)

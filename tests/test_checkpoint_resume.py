@@ -124,3 +124,35 @@ def test_manifest_carries_lineage_and_metrics(spark, series, tmp_path):
                 "committed_at"):
         assert key in row, key
     assert row["rows_out"] > 0
+
+
+def test_manifest_pruned_read_skips_buckets(spark, series, tmp_path):
+    """S6 data skipping: a metric-range read touches only buckets whose
+    manifest stats intersect the range, and filtered results equal the
+    unpruned read."""
+    from pyrate_spark.plans.checkpoint import read_result_pruned
+    out = str(tmp_path / "o7")
+    checkpointed_run(series, out, transform, n_buckets=8, params_hash="p")
+    full = read_result(spark, out)
+    lo = full.agg(F.min("value_avg")).first()[0]
+    hi = full.agg(F.max("value_avg")).first()[0]
+    cut = lo + (hi - lo) * 0.9
+    pruned = read_result_pruned(spark, out, "p", metric_min=cut)
+    n_pruned_files = pruned.select(F.input_file_name()).distinct().count()
+    n_full_files = full.select(F.input_file_name()).distinct().count()
+    assert n_pruned_files < n_full_files       # something was skipped
+    a = (pruned.where(F.col("value_avg") >= cut)
+         .orderBy("url", "bucket_start").toPandas()
+         .drop(columns=["_cp_bucket"], errors="ignore"))
+    b = (full.where(F.col("value_avg") >= cut)
+         .orderBy("url", "bucket_start").toPandas())
+    assert a[b.columns.tolist()].equals(b)
+
+
+def test_manifest_pruned_read_empty_range(spark, series, tmp_path):
+    from pyrate_spark.plans.checkpoint import read_result_pruned
+    out = str(tmp_path / "o8")
+    checkpointed_run(series, out, transform, n_buckets=4, params_hash="p")
+    hi = read_result(spark, out).agg(F.max("value_avg")).first()[0]
+    got = read_result_pruned(spark, out, "p", metric_min=hi + 1e9)
+    assert got.count() == 0
