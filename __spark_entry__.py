@@ -492,6 +492,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("nzc").cast("long").alias("nzc"))
     q["maxvar_full"] = q_maxvar_full
 
+    def q_aux_tile_average(spark, sf):
+        """A10: per-(url, day-tile) mean of the aux covariate joined
+        back to rows."""
+        from pyrate_spark.operators.corrections import aux_tile_average
+        e = spark.read.parquet(f"{sf}/events.parquet")
+        s = e.select(F.col("user_id").cast("string").alias("url"),
+                     F.date_trunc("second", "ts").alias("warc_ts"),
+                     F.length("props").cast("double").alias("aux"))
+        out = aux_tile_average(s, "aux", "1 day")
+        return out.select("url", _u("warc_ts").alias("ts_unix"),
+                          F.round("aux_tile_avg", 5).alias("aux_tile_avg"),
+                          F.col("aux_tile_n").cast("long").alias("aux_tile_n"))
+    q["aux_tile_average"] = q_aux_tile_average
+
     def q_gorilla_roundtrip(spark, sf):
         """Hourly tier THROUGH the Gorilla codec: encode per-url blocks,
         decode, compare against the plain hourly oracle — proves the
@@ -544,7 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_token_count(spark, sf):
         t = tx.token_count(_docs(spark, sf))
         return t.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
-                        F.col("n_subtokens").cast("long").alias("n_subtokens"))
+                        F.col("n_subtokens").cast("long").alias("n_subtokens"),
+                        "n_bpe_pieces")
     q["token_count"] = q_token_count
 
     def q_text_quality(spark, sf):
@@ -1176,6 +1191,21 @@ def oracle_sql() -> dict[str, str]:
         FROM acg GROUP BY url, n, nzc
     """
 
+    o["aux_tile_average"] = f"""
+        WITH s AS (SELECT CAST(user_id AS VARCHAR) AS url,
+                          date_trunc('second', ts) AS warc_ts,
+                          length(props)::DOUBLE AS aux
+                   FROM events),
+        t AS (SELECT url,
+                     CAST(epoch(warc_ts) AS BIGINT) // 86400 AS d,
+                     avg(aux) AS a, count(aux) AS n
+              FROM s GROUP BY 1, 2)
+        SELECT s.url, CAST(epoch(s.warc_ts) AS BIGINT) AS ts_unix,
+               round(t.a, 5) AS aux_tile_avg, t.n AS aux_tile_n
+        FROM s JOIN t ON s.url = t.url
+                     AND CAST(epoch(s.warc_ts) AS BIGINT) // 86400 = t.d
+    """
+
     o["gorilla_roundtrip"] = f"""
         WITH h AS ({_HOURLY_SQL})
         SELECT url, bucket_unix,
@@ -1305,10 +1335,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(a.fp, b.fp)) <= 3
     """
 
-    o["token_count"] = r"""
+    _bpe = (r"''s|''t|''re|''ve|''m|''ll|''d"
+            r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+    o["token_count"] = rf"""
         SELECT doc_id,
                len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subtokens
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subtokens,
+               CAST(len(regexp_extract_all(text, '{_bpe}')) AS BIGINT)
+                   AS n_bpe_pieces
         FROM documents
     """
 

@@ -361,6 +361,23 @@ def closure_fixpoint(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
             .groupBy("_bucket").applyInPandas(fn, schema))
 
 
+def aux_tile_average(series: DataFrame, aux_col: str = "aux",
+                     bucket: str = "1 day") -> DataFrame:
+    """A10 (dem_error.py:120-168: per-tile bperp averages feeding the
+    DEM-error design matrix): per-(key, time-tile) mean of the
+    auxiliary covariate, attached back to every row of the tile. One
+    aggregation + one join co-partitioned on the same keys — the
+    aggregate side is tiny relative to the rows, so AQE broadcasts it
+    at scale."""
+    win = F.window("warc_ts", bucket)
+    src = series.withColumn("_tile", win["start"])
+    avg = (src.groupBy("url", "_tile")
+           .agg(F.avg(aux_col).alias("aux_tile_avg"),
+                F.count(aux_col).alias("aux_tile_n")))
+    return (src.join(avg, ["url", "_tile"], "left")
+            .withColumn("tile_start", F.col("_tile")).drop("_tile"))
+
+
 def quality_mask(series: DataFrame, quality_col: str, thr: float,
                  value_col: str = "value") -> DataFrame:
     """P3 coherence-mask analog (gdal_python.py:36-61): NULL the value

@@ -24,14 +24,24 @@ def _word_re(w: str) -> str:
     return rf"\b{w}\b"
 
 
+# GPT-2-style pre-tokeniser pattern (contractions, space-prefixed word
+# / number / symbol runs, residual whitespace) restricted to ASCII
+# classes so Java regex (Spark) and RE2 (DuckDB) count identically
+BPE_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+          r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokenisation + a BPE-ish sub-token estimate
-    (4 chars/token heuristic)."""
+    """Whitespace tokenisation + two sub-token estimates: the 4
+    chars/token heuristic and a BPE-ish pre-tokeniser regex match count
+    (the GPT-2 pattern's ASCII core)."""
     toks = F.size(F.split(F.trim(F.col(text_col)), _WS))
     return docs.select(
         "doc_id",
         toks.alias("n_tokens"),
         F.ceil(F.length(text_col) / F.lit(4)).cast("long").alias("n_subtokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_RE)).cast("long")
+        .alias("n_bpe_pieces"),
     )
 
 
