@@ -61,3 +61,41 @@ def test_broadcast_join_for_small_dim(spark):
     j = s.join(F.broadcast(dim), "lang")
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_gapfill_single_exchange(spark):
+    """T17: grid join + LOCF window reuse ONE url-clustered exchange
+    (plus the rollup's own aggregate exchange upstream)."""
+    from pyrate_spark.operators.rollup import tier_rollup, gapfill_tier
+    s = extract_series(generate_pages(spark, n_urls=30, epochs_per_url=10,
+                                      seed=3))
+    h = tier_rollup(s, "1 hour", 0.5).localCheckpoint()
+    g = gapfill_tier(h, "1 hour")
+    # from the materialised tier, the whole fill costs <= 2 exchanges
+    # (grid side + tier side hash on url); the window adds none
+    assert exchange_count(g) <= 2
+
+
+def test_grouped_kernel_single_user_repartition(spark):
+    """The grouped-map path shuffles ONCE (the user repartition on
+    _bucket); the groupBy reuses that clustering."""
+    from pyrate_spark.operators.grouped import timeseries_per_url
+    from pyrate_spark.operators.pairs import sequential_pairs
+    from pyrate_spark.config import EngineConfig
+    s = extract_series(generate_pages(spark, n_urls=30, epochs_per_url=10,
+                                      seed=3))
+    p = sequential_pairs(s).localCheckpoint()
+    ts = timeseries_per_url(p, EngineConfig(salt_buckets=16),
+                            use_mst=False, detect_hot=False)
+    assert exchange_count(ts) == 1
+
+
+def test_knn_query_side_broadcasts(spark):
+    from pyrate_spark.operators.similarity import cosine_topk
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 7) for j in range(4)], 0)
+         for i in range(50)],
+        "vec_id long, embedding array<double>, label int")
+    out = cosine_topk(emb, [0, 1], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
