@@ -34,6 +34,25 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_tier_ranged(tier_df: DataFrame, path: str,
+                      n_files: int | None = None,
+                      key: str = "url", ts_col: str = "bucket_start",
+                      mode: str = "overwrite") -> None:
+    """Range-layout tier write (north rule: repartition-by-range on
+    (url, time-bucket)): ``repartitionByRange(key, ts)`` +
+    ``sortWithinPartitions`` clusters each parquet file on a contiguous
+    (url, bucket) range, so file- and row-group-level min/max stats
+    prune BOTH url point-lookups and time-range scans — the access
+    pattern of tier reads (a dashboard asks for one url's recent
+    buckets, a backfill asks for one time slice of all urls). A hash
+    layout spreads every url across every file and can prune neither."""
+    spark = tier_df.sparkSession
+    n = n_files or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (tier_df.repartitionByRange(n, key, ts_col)
+     .sortWithinPartitions(key, ts_col)
+     .write.mode(mode).parquet(path))
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan —
     the assertion primitive for 'this join is co-located'."""

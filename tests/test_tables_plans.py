@@ -99,3 +99,24 @@ def test_knn_query_side_broadcasts(spark):
     out = cosine_topk(emb, [0, 1], k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_write_tier_ranged_clusters_files(spark, tmp_path):
+    """Range layout: each parquet file covers a contiguous url range
+    (boundary url may straddle two files), so min/max stats can prune
+    url and time-range scans."""
+    from pyrate_spark.operators.rollup import tier_rollup
+    from pyrate_spark.sources.tables import write_tier_ranged
+    s = extract_series(generate_pages(spark, n_urls=60, epochs_per_url=20,
+                                      seed=4))
+    h = tier_rollup(s, "1 hour", 0.5)
+    out = str(tmp_path / "tier")
+    write_tier_ranged(h, out, n_files=6)
+    got = (spark.read.parquet(out)
+           .groupBy(F.input_file_name().alias("f"))
+           .agg(F.min("url").alias("lo"), F.max("url").alias("hi"))
+           .collect())
+    assert len(got) > 1
+    spans = sorted([(r["lo"], r["hi"]) for r in got])
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2          # contiguous, non-interleaved ranges
