@@ -164,3 +164,68 @@ def test_streaming_gapfill_drops_behind_frontier(spark, tmp_path):
              for t in got["bucket_start"]]
     assert hours == [3.0, 4.0, 5.0]                      # no hour-1 row
     assert got["value_filled"].tolist() == [4.0, 4.0, 6.0]
+
+
+def test_streaming_cumsum_matches_batch(spark, tmp_path):
+    from pyrate_spark.operators.rollup import cumulative
+    from pyrate_spark.streaming.corrections import streaming_cumsum
+    import numpy as np
+
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    b1 = _tier_rows([("a", 0, None), ("a", 1, 2.0), ("b", 0, 1.0)])
+    b2 = _tier_rows([("a", 2, 3.0), ("b", 1, None), ("b", 2, 4.0)])
+
+    def run(rows):
+        spark.createDataFrame(rows, TIER_DDL).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(TIER_DDL)
+                  .option("maxFilesPerTrigger", "8").parquet(src))
+        q = (streaming_cumsum(stream)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run(b1)
+    run(b2)
+    got = (spark.read.parquet(out).orderBy("url", "bucket_start")
+           .select("url", "bucket_start", "value_cuml").toPandas())
+    want = (cumulative(spark.createDataFrame(b1 + b2, TIER_DDL))
+            .orderBy("url", "bucket_start")
+            .select("url", "bucket_start", "value_cuml").toPandas())
+    g = got["value_cuml"].to_numpy(dtype=float)
+    w = want["value_cuml"].to_numpy(dtype=float)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+
+
+def test_foreachbatch_corrections_equals_batch(spark, tmp_path):
+    """run_correct_stream(foreachBatch) on a single micro-batch ==
+    run_correct on the same frame."""
+    from pyrate_spark.plans.pipeline import run_correct
+    from pyrate_spark.streaming.corrections import run_correct_stream
+    from pyrate_spark.config import EngineConfig
+    import numpy as np
+
+    cfg = EngineConfig(salt_buckets=4)
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    rows = [("a", BASE + dt.timedelta(hours=6 * k), float(5 * k + 3))
+            for k in range(8)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, value double").parquet(src)
+    q = run_correct_stream(stream, out, ckpt, cfg,
+                           order=("orbfit", "refphase"))
+    q.awaitTermination(120)
+    got = (spark.read.parquet(out).orderBy("warc_ts")
+           .select("value").toPandas()["value"].to_numpy())
+    want = (run_correct(df, cfg, order=("orbfit", "refphase"))
+            .orderBy("warc_ts").select("value").toPandas()["value"]
+            .to_numpy())
+    np.testing.assert_allclose(got, want, atol=1e-12)
