@@ -251,6 +251,13 @@ Notes on what scales and why (measured on this box):
   tests/test_scaling_equivalence.py.
 
 Raw JSON: BENCH_scaling.json.
+
+Headline bench (bench.py, what the driver records as BENCH_r{{N}}.json)
+uses the same discipline: median of 3 runs per stage inside one
+process, pair-network timed as a recompute (not a cached read-back),
+python workers warmed first. Box-state drift between DRIVER runs is
+still visible in the one-shot `pages_materialize` stage (cold datagen
++ persist); the steady-state stages are the comparable numbers.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
