@@ -104,11 +104,29 @@ def _remove_rank_def_rows(b_mat, nvelpar, ifgv, sel, rank):
 
 
 def _solve_ts_svd(nvelpar, velflag, ifgv, b_mat):
-    """timeseries.py:214-222. lstsq computes the same minimum-norm
-    Moore-Penrose solution as pinv(b) @ ifgv with a single SVD
-    (2-3x faster on the hot-key matrices)."""
+    """timeseries.py:214-222. Fast path: the rank-repair loop
+    (interp=0) guarantees b_mat has full column rank, so the unique LS
+    solution comes from the normal equations + Cholesky — one gemm +
+    one O(n^3/3) factorisation, measured 2.6x faster than the SVD
+    lstsq at the hot-key shape (600x383) with agreement to 6e-15.
+    Cholesky raises on a rank-deficient Gram (the interp=1 path skips
+    the repair), which falls back to the minimum-norm SVD solution —
+    identical to the reference's pinv(b) @ ifgv (timeseries.py:222).
+    Below ~192 columns the three-call Cholesky path loses to one lstsq
+    on call overhead (measured crossover), so small systems keep the
+    single-SVD route."""
     tsvel = np.full(nvelpar, np.nan, dtype=np.float32)
-    sol = np.linalg.lstsq(b_mat, ifgv, rcond=None)[0]
+    sol = None
+    if b_mat.shape[1] >= 192:
+        try:
+            g = b_mat.T @ b_mat
+            L = np.linalg.cholesky(g)
+            z = np.linalg.solve(L, b_mat.T @ ifgv)
+            sol = np.linalg.solve(L.T, z)
+        except np.linalg.LinAlgError:
+            sol = None
+    if sol is None:
+        sol = np.linalg.lstsq(b_mat, ifgv, rcond=None)[0]
     tsvel[velflag != 0] = sol
     return tsvel
 
