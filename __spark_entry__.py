@@ -581,6 +581,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.fingerprint(_docs(spark, sf))
     q["fingerprint"] = q_fingerprint
 
+    def q_fingerprint_rolling(spark, sf):
+        """Rabin-Karp rolling hash: whole-doc polynomial hash + min
+        windowed hash (content-defined-chunking primitive), pure
+        fold/transform column algebra."""
+        return tx.fingerprint_rolling(_docs(spark, sf), window=32).select(
+            "doc_id", "rh_full", "rh_min_window",
+            F.col("n_chars").cast("long").alias("n_chars"))
+    q["fingerprint_rolling"] = q_fingerprint_rolling
+
     def q_knn_bruteforce(spark, sf):
         out = sim.cosine_topk(_emb(spark, sf), QUERY_IDS, k=5)
         return out.select(F.col("query_id").cast("long").alias("query_id"),
@@ -1396,6 +1405,36 @@ def oracle_sql() -> dict[str, str]:
                md5(trim(regexp_replace(regexp_replace(lower(text),
                    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
         FROM documents
+    """
+
+    # Rabin-Karp twin: DuckDB's list_reduce seeds from the first
+    # element, so a prepended 0 plays the fold's init accumulator
+    o["fingerprint_rolling"] = """
+        WITH c AS (
+          SELECT doc_id, length(text) AS n,
+                 list_transform(range(1, length(text) + 1),
+                                i -> ord(substr(text, i, 1))) AS codes
+          FROM documents),
+        h AS (
+          SELECT doc_id, n,
+                 CASE WHEN n = 0 THEN 0 ELSE list_reduce(
+                     list_prepend(CAST(0 AS BIGINT), codes),
+                     (acc, x) -> (acc * 131 + x) % 2147483647)
+                 END AS rh_full,
+                 CASE WHEN n <= 32 THEN [CAST(0 AS BIGINT)]
+                      ELSE generate_series(0, n - 32) END AS starts,
+                 codes
+          FROM c)
+        SELECT doc_id, rh_full,
+               list_min(list_transform(starts,
+                   i -> CASE WHEN len(codes[i+1 : i+32]) = 0 THEN 0
+                        ELSE list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                         codes[i+1 : i+32]),
+                            (acc, x) -> (acc * 131 + x) % 2147483647)
+                        END)) AS rh_min_window,
+               CAST(n AS BIGINT) AS n_chars
+        FROM h
     """
 
     o["knn_bruteforce"] = f"""

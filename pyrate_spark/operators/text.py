@@ -100,3 +100,42 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
         _WS, " ")
     return docs.select("doc_id", F.md5(F.trim(norm)).alias("fp"))
+
+
+# Rabin-Karp polynomial rolling-hash parameters: modulus < 2^31 keeps
+# every intermediate (acc*B + c) under 2^39, safely inside int64 for
+# both Spark's ANSI arithmetic and DuckDB
+RH_BASE = 131
+RH_MOD = 2147483647
+
+
+def fingerprint_rolling(docs: DataFrame, text_col: str = "text",
+                        window: int = 32) -> DataFrame:
+    """Rolling-hash fingerprints (Rabin-Karp polynomial over char
+    codes): the whole-document hash plus the minimum windowed hash —
+    the content-defined-chunking primitive (a shifted byte keeps most
+    window hashes intact, unlike md5-of-document). Pure fold/transform
+    column algebra, no UDF; exactly reproducible in SQL.
+
+    h(doc)   = fold(chars, 0, acc*B + code mod M)
+    h_win(i) = hash of chars[i : i+window); min over i emitted
+    """
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    full = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: (acc * RH_BASE + c) % RH_MOD)
+    n = F.size(codes)
+    starts = F.when(
+        n <= window, F.array(F.lit(0))
+    ).otherwise(F.sequence(F.lit(0), n - window))
+    win_hashes = F.transform(
+        starts,
+        lambda i: F.aggregate(
+            F.slice(codes, i + 1, window), F.lit(0).cast("long"),
+            lambda acc, c: (acc * RH_BASE + c) % RH_MOD))
+    return docs.select(
+        "doc_id",
+        full.alias("rh_full"),
+        F.array_min(win_hashes).alias("rh_min_window"),
+        n.alias("n_chars"))
