@@ -2,8 +2,8 @@
 
 ``entry(spark)`` runs the flagship pipeline at sf0.001; ``queries()``
 exposes one callable per implemented operator from SURVEY.md §2 (plus
-the training-data-pipeline suite) — 47 queries, every one with a
-DuckDB oracle in ``oracle_sql()``: exact value twins where the math is
+the training-data-pipeline suite) — EVERY query has a DuckDB oracle
+in ``oracle_sql()``: exact value twins where the math is
 SQL-expressible (including the md5-hash-mode LSH pipelines, the FFT
 autocovariance via a modular self-join, and the 4-epoch Laplacian
 inversion via 3x3 Cramer), and measured-recall gate tables for the

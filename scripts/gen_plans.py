@@ -118,6 +118,27 @@ add("FFT maxvar (A11, grouped-map)",
     "onto pairs for vcm_mode='maxvar'.",
     maxvar_full(series, EngineConfig(salt_buckets=16), calc_alpha=False))
 
+add("Embedding-cosine near-dup (brute baseline)",
+    "JVM-side zip_with/aggregate dot products; no Python in the loop. "
+    "The LSH-bucketed variant replaces the O(n^2) join with the "
+    "signature equi-join above at scale.",
+    __import__("pyrate_spark.operators.similarity",
+               fromlist=["cosine_near_pairs"]).cosine_near_pairs(
+        emb, threshold=0.2))
+
+from pyrate_spark.sources.tables import write_tier_ranged
+import glob
+write_tier_ranged(tier_rollup(series, "1 hour", 0.5),
+                  "/tmp/plans_tier_ranged", n_files=4)
+add("Range-layout tier scan (url + time predicate)",
+    "repartitionByRange(url, bucket) at write time clusters files on "
+    "contiguous key/time ranges, so the scan's parquet min/max stats "
+    "prune point-lookups and time slices (PushedFilters below reach "
+    "the footer level).",
+    spark.read.parquet("/tmp/plans_tier_ranged")
+        .where((F.col("url") == "u-000001")
+               & (F.col("bucket_start") >= "2024-01-01")))
+
 spark.sql("DROP TABLE IF EXISTS plans_b")
 shutil.rmtree("/tmp/pyrate-spark-warehouse/plans_b", ignore_errors=True)
 write_bucketed(series, "plans_b", n_buckets=4)
