@@ -653,6 +653,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "decode_ok")
     q["multimodal_features"] = q_multimodal_features
 
+    def q_multimodal_resize(spark, sf):
+        """Fit-in-box resize: geometry is column algebra, pixel work is
+        the stubbed mapInPandas stage whose deterministic stand-in
+        payload the oracle recomputes (sha256 of payload+geometry)."""
+        from pyrate_spark.operators.multimodal import (resize_assets,
+                                                       synth_assets)
+        out = resize_assets(synth_assets(spark, 64), max_w=256, max_h=256)
+        return out.select(
+            "asset_id", "kind",
+            F.col("out_width").cast("long").alias("out_width"),
+            F.col("out_height").cast("long").alias("out_height"),
+            F.lower(F.hex("payload_resized")).alias("resized_sha"))
+    q["multimodal_resize"] = q_multimodal_resize
+
+    def q_frame_sample(spark, sf):
+        """Video frame-sampling plan: timestamps to decode, pure
+        sequence+explode."""
+        from pyrate_spark.operators.multimodal import (frame_sample_plan,
+                                                       synth_assets)
+        out = frame_sample_plan(synth_assets(spark, 64), every_ms=1000)
+        return out.select("asset_id",
+                          F.col("frame_ms").cast("long").alias("frame_ms"))
+    q["frame_sample"] = q_frame_sample
+
     def q_temporal_highpass(spark, sf):
         """T11: Gaussian-weighted high-pass on the irregular time axis.
         SQL twin = per-url self-join over the interval-midpoint axis."""
@@ -1524,6 +1548,39 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_cosine_similarity(
                   CAST(a.embedding AS DOUBLE[]),
                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
+    """
+
+    o["multimodal_resize"] = """
+        WITH a AS (SELECT unnest(range(64)) AS asset_id),
+        g AS (SELECT asset_id,
+                     CASE asset_id % 3 WHEN 0 THEN 'image/png'
+                          WHEN 1 THEN 'audio/wav'
+                          ELSE 'video/mp4' END AS kind,
+                     (asset_id % 64) * 16 + 16 AS w,
+                     (asset_id % 48) * 16 + 16 AS h
+              FROM a),
+        s AS (SELECT *, least(256.0 / w, 256.0 / h, 1.0) AS sc FROM g),
+        o AS (SELECT asset_id, kind,
+                     greatest(CAST(floor(w * sc) AS BIGINT), 1)
+                         AS out_width,
+                     greatest(CAST(floor(h * sc) AS BIGINT), 1)
+                         AS out_height
+              FROM s)
+        SELECT asset_id, kind, out_width, out_height,
+               sha256('ASSET-' || asset_id || '-42'
+                      || '@' || out_width || 'x' || out_height)
+                   AS resized_sha
+        FROM o
+    """
+
+    o["frame_sample"] = """
+        WITH a AS (SELECT unnest(range(64)) AS asset_id),
+        v AS (SELECT asset_id, (asset_id % 1000) * 33 AS dur
+              FROM a WHERE asset_id % 3 = 2)
+        SELECT asset_id,
+               unnest(generate_series(0, greatest(dur - 1, 0), 1000))
+                   AS frame_ms
+        FROM v
     """
 
     # ANN recall gates: the Spark query computes recall@5 vs its own

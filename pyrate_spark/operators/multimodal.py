@@ -72,6 +72,54 @@ def extract_features(assets: DataFrame, feat_dim: int = 8,
             .mapInPandas(batches, FEATURE_SCHEMA))
 
 
+RESIZE_SCHEMA = ("asset_id long, kind string, out_width int, "
+                 "out_height int, payload_resized binary, decode_ok boolean")
+
+
+def resize_assets(assets: DataFrame, max_w: int = 256, max_h: int = 256,
+                  fake: bool = True) -> DataFrame:
+    """Aspect-preserving fit-in-box resize. The TARGET GEOMETRY is pure
+    column algebra (scale = min(max_w/w, max_h/h, 1), floor, min 1px —
+    SQL-verifiable); the pixel work runs in mapInPandas with the same
+    stub contract as extract_features: ``fake=True`` emits a
+    deterministic sha256-of-(payload, geometry) stand-in payload with
+    the real schema/batch shape, a real decoder drops in by replacing
+    ``_resize`` only."""
+    scale = F.least(F.lit(float(max_w)) / F.col("width"),
+                    F.lit(float(max_h)) / F.col("height"),
+                    F.lit(1.0))
+    sized = (assets
+             .withColumn("out_width",
+                         F.greatest(F.floor(F.col("width") * scale),
+                                    F.lit(1)).cast("int"))
+             .withColumn("out_height",
+                         F.greatest(F.floor(F.col("height") * scale),
+                                    F.lit(1)).cast("int")))
+
+    def _resize(payload: bytes, w: int, h: int) -> bytes:
+        if not fake:
+            raise NotImplementedError(
+                "real pixel resize requires PIL — not in this runtime; "
+                "swap this function when deploying")
+        return hashlib.sha256(payload + f"@{w}x{h}".encode()).digest()
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "out_width": pdf["out_width"],
+                "out_height": pdf["out_height"],
+                "payload_resized": [
+                    _resize(p, w, h) for p, w, h in
+                    zip(pdf["payload"], pdf["out_width"],
+                        pdf["out_height"])],
+                "decode_ok": True,
+            })
+
+    return sized.repartition("kind").mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan (timestamps to decode) — pure column
     algebra; the decode itself goes through extract_features."""
