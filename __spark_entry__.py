@@ -51,6 +51,11 @@ YEAR_SECONDS = 365.25 * 86400.0
 
 def _events(spark: SparkSession, sf_dir: str, nulls: bool = True,
             floor_value: bool = False) -> DataFrame:
+    """Canonical series source: duplicate (url, second) observations
+    collapse to their mean. Without this, ONE duplicate timestamp (it
+    exists at sf0.1) makes every lag/rank/pair construction order-
+    ambiguous between Spark and the SQL twin. No-op where timestamps
+    are unique (avg of one value is the value)."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     v = F.col("value")
     if floor_value:
@@ -58,10 +63,11 @@ def _events(spark: SparkSession, sf_dir: str, nulls: bool = True,
     if nulls:
         v = F.when(F.pmod(F.col("event_id"), F.lit(10)) == 0,
                    None).otherwise(v)
-    return e.select(
+    return (e.select(
         F.col("user_id").cast("string").alias("url"),
         F.date_trunc("second", F.col("ts")).alias("warc_ts"),
         v.alias("value"))
+        .groupBy("url", "warc_ts").agg(F.avg("value").alias("value")))
 
 
 # SQL twin of _events (DuckDB); driver pre-registers `events` as a view
@@ -69,8 +75,10 @@ def _events_sql(nulls: bool = True, floor_value: bool = False) -> str:
     v = "floor(value)" if floor_value else "value"
     if nulls:
         v = f"CASE WHEN event_id % 10 = 0 THEN NULL ELSE {v} END"
-    return (f"SELECT CAST(user_id AS VARCHAR) AS url, "
-            f"date_trunc('second', ts) AS warc_ts, {v} AS value FROM events")
+    return (f"SELECT url, warc_ts, avg(v) AS value FROM ("
+            f"SELECT CAST(user_id AS VARCHAR) AS url, "
+            f"date_trunc('second', ts) AS warc_ts, {v} AS v FROM events) "
+            f"GROUP BY url, warc_ts")
 
 
 _HOURLY_SQL = f"""
@@ -172,7 +180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         h = tier_rollup(_events(spark, sf), "1 hour", thresh=0.99)
         d = cascade_rollup(h, "1 day", thresh=0.5)
         return d.select("url", _u("bucket_start").alias("bucket_unix"),
-                        F.round("value_avg", 4).alias("value_avg"),
+                        F.round(F.col("value_avg").cast("float").cast("double"), 3)
+                        .alias("value_avg"),
                         F.round("null_fraction", 6).alias("null_fraction"),
                         F.col("n_obs").cast("long").alias("n_obs"))
     q["rollup_daily_cascade"] = q_rollup_daily_cascade
@@ -180,7 +189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_rollup_weekly(spark, sf):
         t = tier_rollup(_events(spark, sf), "1 week", thresh=0.5)
         return t.select("url", _u("bucket_start").alias("bucket_unix"),
-                        F.round("value_avg", 3).alias("value_avg"),
+                        F.round(F.col("value_avg").cast("float").cast("double"), 2)
+                        .alias("value_avg"),
                         F.col("n_obs").cast("long").alias("n_obs"))
     q["rollup_weekly"] = q_rollup_weekly
 
@@ -275,10 +285,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_coh_stats(spark, sf):
         s = _events(spark, sf)
+        def _r5(c):
+            return F.round(c.cast("float").cast("double"), 5)
         return (s.groupBy("url")
-                .agg(F.round(F.median("value"), 5).alias("med"),
-                     F.round(F.avg("value"), 5).alias("mean"),
-                     F.round(F.stddev_samp("value"), 5).alias("sd")))
+                .agg(_r5(F.median("value")).alias("med"),
+                     _r5(F.avg("value")).alias("mean"),
+                     _r5(F.stddev_samp("value")).alias("sd")))
     q["coh_stats"] = q_coh_stats
 
     # ---------------- regression / stacking / inversion ----------------
@@ -468,12 +480,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.date_trunc("second", "ts").alias("warc_ts"),
                 F.when(F.pmod("event_id", F.lit(10)) == 0, None)
                  .otherwise(F.col("value")).alias("value"),
-                F.length("props").cast("double").alias("aux"))
+                # covariate must VARY within a key to be identifiable:
+                # props length alone is constant for many urls at
+                # higher sf (collinear with the intercept -> the
+                # coefficient is numerically meaningless), so a
+                # deterministic per-row term joins it
+                (F.length("props") + F.pmod("event_id", F.lit(97)))
+                .cast("double").alias("aux"))
+             .groupBy("url", "warc_ts")            # collapse dup seconds
+             .agg(F.avg("value").alias("value"), F.avg("aux").alias("aux"))
              .where(F.col("value").isNotNull()))
         out = dem_error_analog(s, EngineConfig(salt_buckets=16))
         return (out.groupBy("url")
                 .agg(F.first("aux_coef").alias("c"))
-                .select("url", _nn(F.round("c", 5)).alias("aux_coef")))
+                .select("url",
+                        _nn(F.round(F.col("c").cast("float")
+                                    .cast("double"), 5)).alias("aux_coef")))
     q["dem_error"] = q_dem_error
 
     def q_maxvar_full(spark, sf):
@@ -497,9 +519,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         back to rows."""
         from pyrate_spark.operators.corrections import aux_tile_average
         e = spark.read.parquet(f"{sf}/events.parquet")
-        s = e.select(F.col("user_id").cast("string").alias("url"),
-                     F.date_trunc("second", "ts").alias("warc_ts"),
-                     F.length("props").cast("double").alias("aux"))
+        s = (e.select(F.col("user_id").cast("string").alias("url"),
+                      F.date_trunc("second", "ts").alias("warc_ts"),
+                      F.length("props").cast("double").alias("aux"))
+             .groupBy("url", "warc_ts")           # collapse dup seconds
+             .agg(F.avg("aux").alias("aux")))
         out = aux_tile_average(s, "aux", "1 day")
         return out.select("url", _u("warc_ts").alias("ts_unix"),
                           F.round("aux_tile_avg", 5).alias("aux_tile_avg"),
@@ -684,8 +708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _events(spark, sf)
         out = temporal_highpass_per_url(s, cfg)
         return out.select("url", _u("epoch_ts").alias("ts_unix"),
-                          _nn(F.round("value_hp", 5)).alias("value_hp"),
-                          _nn(F.round("value_lp", 5)).alias("value_lp"))
+                          _nn(F.round(F.col("value_hp").cast("float")
+                                      .cast("double"), 4)).alias("value_hp"),
+                          _nn(F.round(F.col("value_lp").cast("float")
+                                      .cast("double"), 4)).alias("value_lp"))
     q["temporal_highpass"] = q_temporal_highpass
 
     # ---------------- relational anchor ----------------
@@ -783,7 +809,8 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n_obs
           FROM ({ev}) GROUP BY 1, 2)
         SELECT url, bucket_unix,
-               round({_thr.format(t=0.5)}, 4) AS value_avg,
+               round(CAST(CAST({_thr.format(t=0.5)} AS FLOAT) AS DOUBLE), 3)
+               AS value_avg,
                round(null_fraction, 6) AS null_fraction, n_obs
         FROM d
     """
@@ -799,7 +826,8 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n_obs
           FROM ({ev}) GROUP BY 1, 2)
         SELECT url, bucket_unix,
-               round({_thr.format(t=0.5)}, 3) AS value_avg, n_obs
+               round(CAST(CAST({_thr.format(t=0.5)} AS FLOAT) AS DOUBLE), 2)
+               AS value_avg, n_obs
         FROM w
     """
 
@@ -992,9 +1020,13 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["coh_stats"] = f"""
-        SELECT url, round(median(value), 5) AS med,
-               round(avg(value), 5) AS mean,
-               round(stddev_samp(value), 5) AS sd
+        SELECT url,
+               round(CAST(CAST(median(value) AS FLOAT) AS DOUBLE), 5)
+                   AS med,
+               round(CAST(CAST(avg(value) AS FLOAT) AS DOUBLE), 5)
+                   AS mean,
+               round(CAST(CAST(stddev_samp(value) AS FLOAT) AS DOUBLE), 5)
+                   AS sd
         FROM ({ev}) GROUP BY url
     """
 
@@ -1168,27 +1200,34 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["dem_error"] = f"""
-        WITH s AS (
+        WITH s0 AS (
           SELECT CAST(user_id AS VARCHAR) AS url,
-                 value AS y, length(props)::DOUBLE AS x,
-                 (epoch(date_trunc('second', ts))
-                  - min(epoch(date_trunc('second', ts)))
-                      OVER (PARTITION BY user_id)) / {YEAR_SECONDS} AS t
-          FROM events WHERE event_id % 10 <> 0),
+                 date_trunc('second', ts) AS warc_ts,
+                 avg(CASE WHEN event_id % 10 = 0 THEN NULL
+                          ELSE value END) AS y,
+                 avg((length(props) + event_id % 97)::DOUBLE) AS x
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT url, y, x,
+                 (epoch(warc_ts)
+                  - min(epoch(warc_ts)) OVER (PARTITION BY url))
+                 / {YEAR_SECONDS} AS t
+          FROM s0 WHERE y IS NOT NULL),
         m AS (
           SELECT url, count(*) n, sum(t) st, sum(x) sx,
                  sum(t*t) stt, sum(t*x) stx, sum(x*x) sxx,
                  sum(y) sy, sum(t*y) sty, sum(x*y) sxy
           FROM s GROUP BY url HAVING count(*) >= 4)
         SELECT url,
-               round(
+               round(CAST(CAST(
                  (  n  * (stt*sxy - sty*stx)
                   - st * (st*sxy  - sty*sx)
                   + sy * (st*stx  - stt*sx))
                  /
                  (  n  * (stt*sxx - stx*stx)
                   - st * (st*sxx  - stx*sx)
-                  + sx * (st*stx  - stt*sx)), 5) AS aux_coef
+                  + sx * (st*stx  - stt*sx)) AS FLOAT) AS DOUBLE), 5)
+                 AS aux_coef
         FROM m
     """
 
@@ -1227,8 +1266,8 @@ def oracle_sql() -> dict[str, str]:
     o["aux_tile_average"] = f"""
         WITH s AS (SELECT CAST(user_id AS VARCHAR) AS url,
                           date_trunc('second', ts) AS warc_ts,
-                          length(props)::DOUBLE AS aux
-                   FROM events),
+                          avg(length(props)::DOUBLE) AS aux
+                   FROM events GROUP BY 1, 2),
         t AS (SELECT url,
                      CAST(epoch(warc_ts) AS BIGINT) // 86400 AS d,
                      avg(aux) AS a, count(aux) AS n
@@ -1510,8 +1549,9 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.value IS NOT NULL AND b.value IS NOT NULL
           GROUP BY a.url, a.rn)
         SELECT a.url, CAST(epoch(a.warc_ts) AS BIGINT) AS ts_unix,
-               round(a.value - l.lp, 5) AS value_hp,
-               round(l.lp, 5) AS value_lp
+               round(CAST(CAST(a.value - l.lp AS FLOAT) AS DOUBLE), 4)
+                   AS value_hp,
+               round(CAST(CAST(l.lp AS FLOAT) AS DOUBLE), 4) AS value_lp
         FROM axis a LEFT JOIN lp l ON a.url = l.url AND a.rn = l.rn
     """
 
