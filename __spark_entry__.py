@@ -420,8 +420,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyrate_spark.operators.corrections import ref_phase_subtract
         s = _events(spark, sf)
         out = ref_phase_subtract(s, EngineConfig(), bucket="1 day")
+        # + 0.0 collapses -0.0 to +0.0 (round() HALF_UP vs DuckDB banker's
+        # rounding can disagree on the SIGN of zero while values compare ==)
         return out.select("url", _u("warc_ts").alias("ts_unix"),
-                          F.round("value", 5).alias("value_centred"))
+                          (F.round("value", 5) + F.lit(0.0))
+                          .alias("value_centred"))
     q["ref_phase_subtract"] = q_ref_phase_subtract
 
     def q_closure_triangles(spark, sf):
@@ -509,7 +512,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _events(spark, sf)
         out = maxvar_full(s, EngineConfig(salt_buckets=16),
                           bucket_seconds=86400, calc_alpha=False)
-        return out.select("url", _nn(F.round("maxvar", 4)).alias("maxvar"),
+        # f32-quantize before round: partial-sum order in avg()/FFT varies
+        # with partitioning at last-ulp scale; both sides collapse to the
+        # same float32 before any rounding decision
+        return out.select("url",
+                          _nn(F.round(F.col("maxvar").cast("float")
+                                      .cast("double"), 4)).alias("maxvar"),
                           F.col("n_grid").cast("long").alias("n_grid"),
                           F.col("nzc").cast("long").alias("nzc"))
     q["maxvar_full"] = q_maxvar_full
@@ -1133,7 +1141,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM ({ev})),
         m AS (SELECT d, median(value) med FROM e GROUP BY d)
         SELECT e.url, CAST(epoch(e.warc_ts) AS BIGINT) AS ts_unix,
-               round(e.value - coalesce(m.med, 0) - 1e-20, 5)
+               round(e.value - coalesce(m.med, 0) - 1e-20, 5) + 0.0
                    AS value_centred
         FROM e JOIN m ON e.d = m.d
     """
@@ -1258,7 +1266,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l.url, l.k, l.n, l.nzc)
         SELECT url,
                CASE WHEN n < 2 OR nzc = 0 THEN NULL
-                    ELSE round(max(cv), 4) END AS maxvar,
+                    ELSE round(CAST(CAST(max(cv) AS FLOAT) AS DOUBLE), 4)
+               END AS maxvar,
                n AS n_grid, nzc
         FROM acg GROUP BY url, n, nzc
     """
