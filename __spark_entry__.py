@@ -722,6 +722,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       .cast("double"), 4)).alias("value_lp"))
     q["temporal_highpass"] = q_temporal_highpass
 
+    def q_cohort_lowpass_fft(spark, sf):
+        """T12 true spectral path: per-cohort daily grid -> NN NaN-fill
+        -> FFT Gaussian low-pass (sigma = std(dist)/cutoff) -> iFFT ->
+        join back. SQL twin replays the whole pipeline with a direct
+        DFT (double trig sum) — exact, not an approximation gate."""
+        from pyrate_spark.operators.corrections import cohort_lowpass_fft
+        s = _events(spark, sf)
+        cohort = F.pmod(F.col("url").cast("long"), F.lit(8)).cast("string")
+        out = cohort_lowpass_fft(s, EngineConfig(salt_buckets=16),
+                                 bucket_seconds=86400, cutoff_days=5.0,
+                                 cohort_expr=cohort)
+        return out.select(
+            "url", _u("warc_ts").alias("ts_unix"),
+            (_nn(F.round(F.col("value_hp").cast("float")
+                         .cast("double"), 4)) + F.lit(0.0)).alias("value_hp"),
+            (_nn(F.round(F.col("value_lp").cast("float")
+                         .cast("double"), 4)) + F.lit(0.0)).alias("value_lp"))
+    q["cohort_lowpass_fft"] = q_cohort_lowpass_fft
+
     # ---------------- relational anchor ----------------
     def q_pricing_summary(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -1562,6 +1581,70 @@ def oracle_sql() -> dict[str, str]:
                    AS value_hp,
                round(CAST(CAST(l.lp AS FLOAT) AS DOUBLE), 4) AS value_lp
         FROM axis a LEFT JOIN lp l ON a.url = l.url AND a.rn = l.rn
+    """
+
+    # T12 spectral low-pass twin: replay grid build, NN fill (ties ->
+    # lower index), Gaussian weights over fftshifted distances
+    # (sigma = population std / cutoff), and the filter itself as a
+    # direct DFT — forward trig sums X(k), then weighted inverse sums.
+    # W at true frequency k is wgt[(k + n//2) mod n] = f(min(k, n-k)).
+    o["cohort_lowpass_fft"] = f"""
+        WITH e AS (
+          SELECT url, warc_ts, value,
+                 CAST(CAST(url AS BIGINT) % 8 AS VARCHAR) AS ch,
+                 CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT)
+                     // 86400 AS b
+          FROM ({ev})),
+        g AS (SELECT ch, b, avg(value) AS gv FROM e GROUP BY 1, 2),
+        ext AS (SELECT ch, min(b) b0, max(b) b1 FROM g GROUP BY ch),
+        g0 AS (SELECT ch, b0, unnest(generate_series(b0, b1)) AS b
+               FROM ext),
+        grid AS (SELECT g0.ch, g0.b, g0.b - g0.b0 AS idx, g.gv AS x
+                 FROM g0 LEFT JOIN g ON g.ch = g0.ch AND g.b = g0.b),
+        ns AS (SELECT ch, count(*) AS n FROM grid GROUP BY ch),
+        good AS (SELECT ch, idx, x FROM grid WHERE x IS NOT NULL),
+        cand AS (SELECT gr.ch, gr.idx, gd.x,
+                        row_number() OVER (
+                            PARTITION BY gr.ch, gr.idx
+                            ORDER BY abs(gd.idx - gr.idx), gd.idx) rk
+                 FROM grid gr JOIN good gd ON gd.ch = gr.ch
+                 WHERE gr.x IS NULL),
+        fill AS (SELECT ch, idx, x FROM good
+                 UNION ALL SELECT ch, idx, x FROM cand WHERE rk = 1),
+        freq AS (SELECT ch, n, unnest(generate_series(0, n - 1)) AS k
+                 FROM ns),
+        fd AS (SELECT ch, n, k,
+                      CAST(least(k, n - k) AS DOUBLE) AS dist_t,
+                      CAST(abs(k - n // 2) AS DOUBLE) AS dist_s
+               FROM freq),
+        sg AS (SELECT ch,
+                      sqrt(avg(dist_s * dist_s)
+                           - avg(dist_s) * avg(dist_s)) / 5.0 AS sigma
+               FROM fd GROUP BY ch),
+        wgt AS (SELECT fd.ch, fd.n, fd.k,
+                       exp(-0.5 * pow(fd.dist_t / sg.sigma, 2)) AS w
+                FROM fd JOIN sg ON sg.ch = fd.ch),
+        xf AS (SELECT w.ch, w.k, w.n, any_value(w.w) AS w,
+                      sum(f.x * cos(2 * pi() * w.k * f.idx / w.n)) AS xr,
+                      -sum(f.x * sin(2 * pi() * w.k * f.idx / w.n)) AS xi
+               FROM wgt w JOIN fill f ON f.ch = w.ch
+               GROUP BY w.ch, w.k, w.n),
+        lp AS (SELECT gr.ch, gr.b,
+                      CASE WHEN any_value(gr.x) IS NULL THEN NULL ELSE
+                        sum(xf.w * (xf.xr * cos(2 * pi() * xf.k * gr.idx
+                                                / xf.n)
+                                    - xf.xi * sin(2 * pi() * xf.k * gr.idx
+                                                  / xf.n)))
+                        / any_value(xf.n)
+                      END AS lp
+               FROM grid gr JOIN xf ON xf.ch = gr.ch
+               GROUP BY gr.ch, gr.b)
+        SELECT e.url, CAST(epoch(e.warc_ts) AS BIGINT) AS ts_unix,
+               round(CAST(CAST(e.value - l.lp AS FLOAT) AS DOUBLE), 4)
+                   + 0.0 AS value_hp,
+               round(CAST(CAST(l.lp AS FLOAT) AS DOUBLE), 4)
+                   + 0.0 AS value_lp
+        FROM e LEFT JOIN lp l ON l.ch = e.ch AND l.b = e.b
     """
 
     # stub decoder twin: feature j = little-endian uint32 of bytes

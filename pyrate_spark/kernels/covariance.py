@@ -103,6 +103,63 @@ def cvd_from_series(x: np.ndarray, dt: float = 1.0,
     return maxvar, float(alpha)
 
 
+def nn_fill_1d(x: np.ndarray) -> np.ndarray:
+    """Nearest-neighbour NaN fill — the 1-D analog of the reference's
+    pre-FFT interpolation (aps.py:232-244 _interpolate_nans_2d with
+    method='nearest'). Equidistant ties break toward the LOWER index
+    (deterministic; scipy's KDTree tie order is arbitrary, so the graft
+    pins it). Returns a filled copy; all-NaN input returned as-is."""
+    x = np.asarray(x, dtype=np.float64)
+    good = np.flatnonzero(~np.isnan(x))
+    if good.size == 0 or good.size == x.size:
+        return x.copy()
+    n = x.size
+    idx = np.arange(n)
+    pos = np.searchsorted(good, idx)
+    left = good[np.clip(pos - 1, 0, good.size - 1)]
+    right = good[np.clip(pos, 0, good.size - 1)]
+    nearest = np.where(np.abs(idx - left) <= np.abs(right - idx),
+                       left, right)
+    out = x.copy()
+    nan = np.isnan(x)
+    out[nan] = x[nearest[nan]]
+    return out
+
+
+def gaussian_lowpass_grid(grid: np.ndarray, dt: float, cutoff: float,
+                          nanfill: bool = True) -> np.ndarray:
+    """1-D graft of the reference's spectral Gaussian low-pass
+    (aps.py:266-318 gaussian_spatial_filter): NaN-mask the input,
+    nearest-neighbour fill, FFT, multiply the fftshifted spectrum by
+    ``exp(-0.5*(dist/sigma)^2)`` where ``dist = |i - n//2| * dt`` and
+    ``sigma = std(dist) / cutoff`` (aps.py:298-311), inverse FFT, take
+    the real part, re-insert NaNs (aps.py:315-317). Documented
+    deviations: the field is the key's 1-D regular TIME grid (dt in
+    days, cutoff in days) instead of a 2-D image in km, and the
+    transform runs circularly over the key's own grid length instead
+    of the reference's fixed zero-pad to 4096 (aps.py:290-293) — the
+    pad there approximates linear convolution on an open image; a time
+    grid has no analogous frame."""
+    x = np.asarray(grid, dtype=np.float64)
+    n = x.size
+    mask = np.isnan(x)
+    if n < 3 or mask.all():
+        return x.copy()
+    x = nn_fill_1d(x) if nanfill else np.where(mask, 0.0, x)
+    c = n // 2
+    dist = np.abs(np.arange(n) - c).astype(np.float64) * dt
+    sigma = float(np.std(dist)) * (1.0 / cutoff)
+    if sigma == 0.0:
+        out = x
+    else:
+        wgt = np.exp(-0.5 * (dist / sigma) ** 2)
+        xf = np.fft.fftshift(np.fft.fft(x))
+        out = np.real(np.fft.ifft(np.fft.ifftshift(xf * wgt)))
+    out = out.copy()
+    out[mask] = np.nan
+    return out
+
+
 def series_to_grid(ts_seconds: np.ndarray, values: np.ndarray,
                    bucket_seconds: int):
     """(grid, t0): bucket-mean regular grid from the key's min to max

@@ -415,6 +415,78 @@ def cohort_lowpass(series: DataFrame, cfg: EngineConfig = DEFAULT,
             .drop("_cohort", "_wstart", "_lp"))
 
 
+def cohort_lowpass_fft(series: DataFrame, cfg: EngineConfig = DEFAULT,
+                       bucket_seconds: int = 86400,
+                       cutoff_days: float = 5.0,
+                       cohort_expr=None, nanfill: bool = True,
+                       n_buckets: int | None = None) -> DataFrame:
+    """T12 true spectral path (aps.py:196-318): the reference low-pass
+    filters each epoch's 2-D image in the Fourier domain with a
+    Gaussian kernel parameterised by a cutoff distance; the graft runs
+    the same kernel 1-D over each cohort's regular TIME grid (cohort =
+    host by default, the web analog of spatially-adjacent pixels).
+    Pipeline per cohort: bucket-mean grid (empty buckets NaN) →
+    nearest-neighbour NaN fill (aps.py:232-244) → FFT → Gaussian
+    weights sigma = std(dist)/cutoff (aps.py:298-311) → inverse FFT
+    real part → NaNs re-inserted (aps.py:315-317). The per-bucket
+    low-pass joins back onto rows: value_lp, value_hp = value - lp.
+
+    Replaces the cohort-mean degenerate recast (``cohort_lowpass``)
+    with an actual cutoff-parameterised filter. Scale: the cohort grid
+    length is bounded by calendar span / bucket, not row count; the
+    aggregate side is tiny versus the row side so AQE broadcasts the
+    join back; one grouped-map over cohorts whose per-group state is
+    one small numpy array."""
+    import numpy as np
+    import pandas as pd
+    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.kernels.covariance import (gaussian_lowpass_grid,
+                                                 series_to_grid)
+    if cohort_expr is None:
+        cohort_expr = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    dt_days = bucket_seconds / 86400.0
+    src = (series
+           .withColumn("_cohort", cohort_expr)
+           .withColumn("_b", (F.floor(
+               F.unix_timestamp(F.date_trunc("second", "warc_ts"))
+               / F.lit(bucket_seconds)) * bucket_seconds).cast("long")))
+    # one grid point per (cohort, bucket); buckets whose values are all
+    # NULL still appear (avg -> NULL) so the grid extent matches the
+    # observed bucket range exactly
+    g = src.groupBy("_cohort", "_b").agg(F.avg("value").alias("_gv"))
+    schema = "_cohort string, _b long, value_lp double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyrate_spark.operators.udf_kernels import group_slices
+        b_all = pdf["_b"].to_numpy(dtype=np.int64)
+        v_all = pdf["_gv"].to_numpy(dtype=np.float64)
+        cohorts, buckets, lps = [], [], []
+        for ch, idx in group_slices(pdf, key="_cohort"):
+            grid, t0 = series_to_grid(b_all[idx], v_all[idx],
+                                      bucket_seconds)
+            lp = gaussian_lowpass_grid(grid, dt=dt_days,
+                                       cutoff=cutoff_days,
+                                       nanfill=nanfill)
+            keep = np.flatnonzero(~np.isnan(lp))
+            cohorts.append(np.full(keep.size, ch, dtype=object))
+            buckets.append(t0 + keep.astype(np.int64) * bucket_seconds)
+            lps.append(lp[keep])
+        if not cohorts:
+            return pd.DataFrame({"_cohort": pd.Series(dtype=object),
+                                 "_b": pd.Series(dtype=np.int64),
+                                 "value_lp": pd.Series(dtype=np.float64)})
+        return pd.DataFrame({"_cohort": np.concatenate(cohorts),
+                             "_b": np.concatenate(buckets),
+                             "value_lp": np.concatenate(lps)})
+
+    nb = n_buckets or cfg.salt_buckets
+    lp = (_bucketed(g, "_cohort", nb, detect_hot=False)
+          .groupBy("_bucket").applyInPandas(fn, schema))
+    return (src.join(lp, ["_cohort", "_b"], "left")
+            .withColumn("value_hp", F.col("value") - F.col("value_lp"))
+            .drop("_cohort", "_b"))
+
+
 def closure_loop_counts(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                         loop_length: int = 3,
                         n_buckets: int | None = None) -> DataFrame:

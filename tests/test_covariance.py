@@ -131,3 +131,81 @@ class TestMaxvarVCMWiring:
             np.array(vals), np.ones(4, bool), np.eye(4),
             np.array(spans)[None, :], 10 ** 9, 1)
         assert e2 != pytest.approx(err)
+
+
+class TestGaussianLowpass:
+    """T12 1-D spectral filter vs a literal direct-DFT transcription of
+    the reference's frequency-domain pipeline (aps.py:266-318)."""
+
+    @staticmethod
+    def _direct(x, dt, cutoff):
+        """O(n^2) direct-DFT replay: X(k) -> W(k)*X(k) -> inverse DFT
+        real part, with W over fftshifted distances exactly as
+        aps.py:298-311 builds it."""
+        n = len(x)
+        c = n // 2
+        dist = np.abs(np.arange(n) - c) * dt
+        sigma = np.std(dist) / cutoff
+        # true-frequency weight: position i of the shifted spectrum is
+        # frequency (i - c) mod n, so W(k) = wgt[(k + c) mod n]
+        wgt = np.exp(-0.5 * (dist / sigma) ** 2)
+        w_true = wgt[(np.arange(n) + c) % n]
+        k = np.arange(n)
+        ang = 2.0 * np.pi * np.outer(k, k) / n
+        xr = (x[None, :] * np.cos(ang)).sum(axis=1)
+        xi = -(x[None, :] * np.sin(ang)).sum(axis=1)
+        out = (w_true[None, :]
+               * (xr[None, :] * np.cos(ang) - xi[None, :] * np.sin(ang))
+               ).sum(axis=1) / n
+        return out
+
+    def test_matches_direct_dft(self):
+        from pyrate_spark.kernels.covariance import gaussian_lowpass_grid
+        rng = np.random.RandomState(7)
+        for n in (5, 8, 13, 64):
+            x = rng.randn(n) * 3 + 10
+            got = gaussian_lowpass_grid(x, dt=1.0, cutoff=4.0)
+            exp = self._direct(x, 1.0, 4.0)
+            np.testing.assert_allclose(got, exp, rtol=1e-10, atol=1e-10)
+
+    def test_nan_mask_reinserted_and_filled(self):
+        from pyrate_spark.kernels.covariance import gaussian_lowpass_grid
+        x = np.array([1.0, np.nan, 3.0, 4.0, np.nan, 6.0])
+        got = gaussian_lowpass_grid(x, dt=1.0, cutoff=3.0)
+        assert np.isnan(got[1]) and np.isnan(got[4])
+        filled = np.array([1.0, 1.0, 3.0, 4.0, 4.0, 6.0])  # tie -> lower
+        exp = self._direct(filled, 1.0, 3.0)
+        np.testing.assert_allclose(got[~np.isnan(x)], exp[~np.isnan(x)],
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_nn_fill_ties_and_edges(self):
+        from pyrate_spark.kernels.covariance import nn_fill_1d
+        # edge fill, interior tie (index 2 equidistant to 0 and 4 -> 0)
+        x = np.array([np.nan, 1.0, np.nan, np.nan, 5.0, np.nan])
+        np.testing.assert_array_equal(nn_fill_1d(x),
+                                      [1.0, 1.0, 1.0, 5.0, 5.0, 5.0])
+        y = np.array([2.0, np.nan, np.nan, np.nan, 8.0])
+        np.testing.assert_array_equal(nn_fill_1d(y),
+                                      [2.0, 2.0, 2.0, 8.0, 8.0])
+        allnan = np.array([np.nan, np.nan])
+        assert np.isnan(nn_fill_1d(allnan)).all()
+
+    def test_degenerate_short_grid_identity(self):
+        from pyrate_spark.kernels.covariance import gaussian_lowpass_grid
+        x = np.array([2.0, 5.0])
+        np.testing.assert_array_equal(gaussian_lowpass_grid(x, 1.0, 3.0), x)
+
+    def test_lowpass_attenuates_high_freq_keeps_mean(self):
+        from pyrate_spark.kernels.covariance import gaussian_lowpass_grid
+        n = 64
+        t = np.arange(n, dtype=float)
+        slow = np.sin(2 * np.pi * t / 32)
+        fast = np.sin(2 * np.pi * t / 2)
+        out = gaussian_lowpass_grid(10 + slow + fast, dt=1.0, cutoff=8.0)
+        out_slow = gaussian_lowpass_grid(10 + slow, dt=1.0, cutoff=8.0)
+        # the fast component is annihilated: adding it changes nothing
+        np.testing.assert_allclose(out, out_slow, atol=1e-12)
+        # DC passes exactly; the slow component is attenuated, not killed
+        assert np.abs(np.mean(out) - 10.0) < 1e-9
+        amp = np.abs(out - 10).max()
+        assert 0.05 < amp < 1.0
