@@ -194,6 +194,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_obs").cast("long").alias("n_obs"))
     q["rollup_weekly"] = q_rollup_weekly
 
+    def q_streaming_rollup_hourly(spark, sf):
+        """§2.9 gate: the availableNow Structured-Streaming tier job
+        over the same events, flushed to completion, equals the batch
+        hourly rollup oracle bucket-for-bucket. Flush protocol: append-
+        mode only emits windows the watermark has passed, and the
+        watermark used for eviction in a batch is the one computed
+        after the PREVIOUS batch — so two sentinel passes (far-future
+        rows on a reserved url, filtered from the output) drive every
+        real bucket across the emission frontier deterministically."""
+        import datetime
+        import tempfile
+        from pyrate_spark.streaming.tiers import streaming_series_rollup
+        tmp = tempfile.mkdtemp(prefix="pyrate_stream_gate_")
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        ddl = "url string, warc_ts timestamp, value double"
+        s = _events(spark, sf)
+        s.write.mode("overwrite").parquet(src)
+        mx = s.agg(F.max("warc_ts")).first()[0]
+
+        def one_pass():
+            stream = (spark.readStream.schema(ddl)
+                      .option("maxFilesPerTrigger", "8").parquet(src))
+            job = (streaming_series_rollup(stream, "1 hour", thresh=0.5,
+                                           watermark="0 seconds")
+                   .writeStream.format("parquet").option("path", out)
+                   .option("checkpointLocation", ckpt)
+                   .outputMode("append")
+                   .trigger(availableNow=True).start())
+            job.awaitTermination(300)
+
+        one_pass()
+        for days in (40, 80):
+            flush = spark.createDataFrame(
+                [("__flush__", mx + datetime.timedelta(days=days), None)],
+                ddl)
+            flush.write.mode("append").parquet(src)
+            one_pass()
+        t = (spark.read.parquet(out)
+             .where(F.col("url") != "__flush__"))
+        return t.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.round("value_avg", 5).alias("value_avg"),
+                        F.round("null_fraction", 6).alias("null_fraction"),
+                        F.col("n_obs").cast("long").alias("n_obs"))
+    q["streaming_rollup_hourly"] = q_streaming_rollup_hourly
+
     def q_nn_downsample(spark, sf):
         t = nn_downsample(_events(spark, sf), "1 hour")
         return t.select("url", _u("bucket_start").alias("bucket_unix"),
@@ -669,6 +714,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "cosine")
     q["dedup_cosine"] = q_dedup_cosine
 
+    def q_dedup_cosine_lsh(spark, sf):
+        """Embedding-cosine near-dup, the 10^12-row path: multi-table
+        hyperplane LSH candidate generation + exact verify. Gates three
+        facts: (1) the LSH pair set is a SUBSET of the exact brute set
+        (no false positives survive the exact verify), (2) recall >=
+        0.9 (measured 0.95-0.96 at sf0.001/0.01/0.1 on isotropic-random
+        embeddings — the ANN worst case), (3) n_brute, which the oracle
+        recomputes independently in SQL, pinning the baseline itself."""
+        e = _emb(spark, sf)
+        brute = sim.cosine_near_pairs(e, threshold=0.25, method="brute")
+        lsh = sim.cosine_near_pairs(e, threshold=0.25, method="lsh")
+        outside = lsh.join(brute.select("id_a", "id_b"),
+                           ["id_a", "id_b"], "left_anti")
+        return (brute.agg(F.count(F.lit(1)).alias("n_brute"))
+                .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+                .crossJoin(outside.agg(F.count(F.lit(1)).alias("n_out")))
+                .select(F.col("n_brute").cast("long").alias("n_brute"),
+                        (F.col("n_out") == 0).alias("subset_ok"),
+                        ((F.col("n_lsh") / F.col("n_brute")) >= 0.9)
+                        .alias("recall_ok")))
+    q["dedup_cosine_lsh"] = q_dedup_cosine_lsh
+
     def q_multimodal_features(spark, sf):
         """Stubbed decode is sha256-deterministic, so the oracle
         recomputes the identical feature bytes in DuckDB. posexplode to
@@ -818,6 +885,15 @@ def oracle_sql() -> dict[str, str]:
             " THEN raw_avg ELSE NULL END")
 
     o["rollup_hourly"] = f"""
+        WITH h AS ({_HOURLY_SQL})
+        SELECT url, bucket_unix,
+               round({_thr.format(t=0.5)}, 5) AS value_avg,
+               round(null_fraction, 6) AS null_fraction, n_obs
+        FROM h
+    """
+
+    # the fully-flushed streaming tier equals the batch hourly tier
+    o["streaming_rollup_hourly"] = f"""
         WITH h AS ({_HOURLY_SQL})
         SELECT url, bucket_unix,
                round({_thr.format(t=0.5)}, 5) AS value_avg,
@@ -1676,6 +1752,18 @@ def oracle_sql() -> dict[str, str]:
                round(list_cosine_similarity(
                    CAST(a.embedding AS DOUBLE[]),
                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
+    """
+
+    # the oracle recomputes the exact-baseline pair count; the subset
+    # and recall facts are Spark-side measured gates (hash geometry is
+    # not SQL-replayable), asserted as constant-true booleans
+    o["dedup_cosine_lsh"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_brute,
+               TRUE AS subset_ok, TRUE AS recall_ok
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(
                   CAST(a.embedding AS DOUBLE[]),

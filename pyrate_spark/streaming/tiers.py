@@ -37,6 +37,16 @@ def streaming_tier_rollup(pages_stream: DataFrame, tier: str = "1 hour",
     schema); watermark bounds state for late data."""
     from pyrate_spark.operators.extract import extract_series
     series = extract_series(pages_stream, value_expr)
+    return streaming_series_rollup(series, tier, thresh, watermark)
+
+
+def streaming_series_rollup(series: DataFrame, tier: str = "1 hour",
+                            thresh: float = 0.5,
+                            watermark: str = "2 hours") -> DataFrame:
+    """The watermarked tier aggregation over a ready (url, warc_ts,
+    value) stream — same expressions as the batch tier_rollup, so a
+    fully-flushed streaming run equals the batch result bucket-for-
+    bucket (driver-gated by the streaming_rollup_hourly oracle)."""
     win = F.window("warc_ts", tier)
     agg = (series
            .withWatermark("warc_ts", watermark)
