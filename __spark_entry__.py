@@ -583,6 +583,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("aux_tile_n").cast("long").alias("aux_tile_n"))
     q["aux_tile_average"] = q_aux_tile_average
 
+    def q_lookup_join(spark, sf):
+        """S10 (gamma.py:519-596): crop + multilook CENTRE-sampling of
+        an auxiliary lookup table over the (day, hour) grid, paired
+        with the matching multilook-mean tiles of the data grid. The
+        SQL twin replays the centre-index arithmetic (even factor:
+        min + looks/2 - 1; odd: min + (looks-1)/2) exactly."""
+        from pyrate_spark.operators.lookup import (lookup_join,
+                                                   lookup_table_select,
+                                                   multilook_tiles)
+        e = _events(spark, sf)
+        d0 = e.agg(F.min(F.floor(F.unix_timestamp("warc_ts") / 86400))
+                   .cast("long").alias("d0"))
+        cells = (e.crossJoin(F.broadcast(d0))
+                 .select((F.floor(F.unix_timestamp("warc_ts") / 86400)
+                          - F.col("d0")).cast("long").alias("y"),
+                         F.hour("warc_ts").cast("long").alias("x"),
+                         "value"))
+        lt = cells.groupBy("y", "x").agg(F.avg("value").alias("az"),
+                                         F.count("value").alias("rg"))
+        sel = lookup_table_select(lt, xlooks=3, ylooks=2,
+                                  xmin=2, xmax=20, ymin=1, ymax=25)
+        tiles = multilook_tiles(cells, 3, 2, 2, 20, 1, 25)
+        out = lookup_join(tiles, sel)
+        q5 = lambda c: (F.round(F.col(c).cast("float").cast("double"), 5)
+                        + F.lit(0.0)).alias(c)
+        return out.select("out_y", "out_x", q5("tile_avg"),
+                          F.col("tile_n").cast("long").alias("tile_n"),
+                          q5("az"), F.col("rg").cast("long").alias("rg"))
+    q["lookup_join"] = q_lookup_join
+
     def q_gorilla_roundtrip(spark, sf):
         """Hourly tier THROUGH the Gorilla codec: encode per-url blocks,
         decode, compare against the plain hourly oracle — proves the
@@ -1380,6 +1410,39 @@ def oracle_sql() -> dict[str, str]:
                round(t.a, 5) AS aux_tile_avg, t.n AS aux_tile_n
         FROM s JOIN t ON s.url = t.url
                      AND CAST(epoch(s.warc_ts) AS BIGINT) // 86400 = t.d
+    """
+
+    # S10 twin: centre starts xs = 2 + (3-1)/2 = 3 (odd factor),
+    # ys = 1 + 2/2 - 1 = 1 (even factor); n_x = 18//3 = 6, n_y = 24//2 = 12
+    o["lookup_join"] = f"""
+        WITH e AS (SELECT warc_ts, value FROM ({ev})),
+        b AS (SELECT min(CAST(epoch(warc_ts) AS BIGINT) // 86400) AS d0
+              FROM e),
+        cells AS (SELECT CAST(epoch(e.warc_ts) AS BIGINT) // 86400 - b.d0
+                             AS y,
+                         CAST(hour(e.warc_ts) AS BIGINT) AS x, e.value
+                  FROM e, b),
+        lt AS (SELECT y, x, avg(value) AS az, count(value) AS rg
+               FROM cells GROUP BY 1, 2),
+        sel AS (SELECT (x - 3) // 3 AS out_x, (y - 1) // 2 AS out_y,
+                       az, rg
+                FROM lt
+                WHERE x >= 3 AND x < 20 AND (x - 3) % 3 = 0
+                  AND y >= 1 AND y < 25 AND (y - 1) % 2 = 0
+                  AND (x - 3) // 3 < 6 AND (y - 1) // 2 < 12),
+        tiles AS (SELECT (y - 1) // 2 AS out_y, (x - 2) // 3 AS out_x,
+                         avg(value) AS tile_avg, count(value) AS tile_n
+                  FROM cells
+                  WHERE x >= 2 AND x < 20 AND y >= 1 AND y < 25
+                  GROUP BY 1, 2)
+        SELECT t.out_y, t.out_x,
+               round(CAST(CAST(t.tile_avg AS FLOAT) AS DOUBLE), 5) + 0.0
+                   AS tile_avg,
+               t.tile_n,
+               round(CAST(CAST(s.az AS FLOAT) AS DOUBLE), 5) + 0.0 AS az,
+               s.rg
+        FROM tiles t LEFT JOIN sel s ON s.out_y = t.out_y
+                                    AND s.out_x = t.out_x
     """
 
     o["gorilla_roundtrip"] = f"""

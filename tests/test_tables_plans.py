@@ -120,3 +120,40 @@ def test_write_tier_ranged_clusters_files(spark, tmp_path):
     spans = sorted([(r["lo"], r["hi"]) for r in got])
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2          # contiguous, non-interleaved ranges
+
+
+def test_lookup_select_centre_arithmetic(spark):
+    """S10 centre-sample selection matches the reference's index rule
+    (gamma.py:565-577) for even AND odd look factors."""
+    import numpy as np
+    from pyrate_spark.operators.lookup import lookup_table_select
+    rows = [(y, x, float(100 * y + x))
+            for y in range(12) for x in range(12)]
+    lt = spark.createDataFrame(rows, "y long, x long, az double")
+    # odd x factor (3, xmin=2 -> start 3), even y factor (2, ymin=1 -> 1)
+    sel = (lookup_table_select(lt, xlooks=3, ylooks=2,
+                               xmin=2, xmax=11, ymin=1, ymax=10)
+           .orderBy("out_y", "out_x").collect())
+    idx_x = np.arange(3, 11, 3)           # reference arange(start, max, looks)
+    idx_y = np.arange(1, 10, 2)
+    n_x, n_y = (11 - 2) // 3, (10 - 1) // 2
+    want = [(oy, ox, float(100 * y + x))
+            for oy, y in enumerate(idx_y[:n_y])
+            for ox, x in enumerate(idx_x[:n_x])]
+    got = [(r["out_y"], r["out_x"], r["az"]) for r in sel]
+    assert got == want
+
+
+def test_lookup_join_broadcasts(spark):
+    from pyrate_spark.operators.lookup import (lookup_join,
+                                               lookup_table_select,
+                                               multilook_tiles)
+    rows = [(y, x, float(y + x)) for y in range(10) for x in range(10)]
+    cells = spark.createDataFrame(rows, "y long, x long, value double")
+    lt = cells.groupBy("y", "x").agg(F.avg("value").alias("az"))
+    sel = lookup_table_select(lt, 2, 2, 0, 8, 0, 8)
+    tiles = multilook_tiles(cells, 2, 2, 0, 8, 0, 8)
+    j = lookup_join(tiles, sel)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert j.count() == 16
