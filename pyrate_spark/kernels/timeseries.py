@@ -121,8 +121,16 @@ def _solve_ts_svd(nvelpar, velflag, ifgv, b_mat):
         try:
             g = b_mat.T @ b_mat
             L = np.linalg.cholesky(g)
-            z = np.linalg.solve(L, b_mat.T @ ifgv)
-            sol = np.linalg.solve(L.T, z)
+            # conditioning guard: normal equations square cond(b_mat);
+            # a factorizable-but-ill-conditioned Gram can drift from
+            # the pinv-equivalent answer beyond oracle rounding. The
+            # Cholesky diagonal ratio is a free cond estimate —
+            # min/max(diag(L)) < 1e-7 means cond(b_mat) >~ 1e7, so
+            # fall back to the SVD route.
+            dl = np.diagonal(L)
+            if dl.min() / dl.max() >= 1e-7:
+                z = np.linalg.solve(L, b_mat.T @ ifgv)
+                sol = np.linalg.solve(L.T, z)
         except np.linalg.LinAlgError:
             sol = None
     if sol is None:

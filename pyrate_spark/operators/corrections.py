@@ -26,8 +26,11 @@ def ref_phase_subtract(series: DataFrame, cfg: EngineConfig = DEFAULT,
     (default: all urls — the reference's method 1 uses all valid
     pixels). ``min_valid`` is method 2's half-patch validity gate
     (ref_phs_est.py:35-95: a reference window with too few valid
-    samples contributes no correction): buckets below it keep their
-    values unshifted. One aggregation + one broadcast join — no
+    samples contributes no correction): buckets below it get no median
+    shift, but the -1e-20 epsilon is still applied to EVERY row —
+    exactly as the reference subtracts ``ref_ph + 1e-20``
+    unconditionally (ref_phs_est.py:180), including where the
+    correction is zero. One aggregation + one broadcast join — no
     per-key work."""
     src = series
     if ref_urls is not None:

@@ -64,7 +64,14 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     are verified with the exact full-set Jaccard, so emitted scores are
     never approximated. The only pairs lost are those sharing nothing
     but >max_df-frequency tokens — at a sane cap those sit far below
-    any useful threshold. The dropped-token count is logged."""
+    any useful threshold. The dropped-token count is only computed (an
+    extra aggregation job) when DEBUG logging is enabled.
+
+    Caching contract: the tokenised/tokenset intermediates are
+    persisted because they feed 2-3 branches of the final plan; they
+    stay in the session cache after the result materialises. Callers
+    running many dedup passes in one long-lived session should
+    ``spark.catalog.clearCache()`` (or unpersist) between passes."""
     toks = (docs
             .select("doc_id", F.explode(F.array_distinct(_tokens(text_col)))
                     .alias("tok"))
@@ -89,10 +96,11 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                 .where(F.col("jaccard") >= threshold))
     import logging
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    n_hot = dfreq.where(F.col("df") > max_df).count()
-    logging.getLogger(__name__).info(
-        "jaccard_pairs: dropping %d tokens with df > %d from candidate "
-        "generation", n_hot, max_df)
+    log = logging.getLogger(__name__)
+    if log.isEnabledFor(logging.DEBUG):   # extra job — opt-in only
+        n_hot = dfreq.where(F.col("df") > max_df).count()
+        log.debug("jaccard_pairs: dropping %d tokens with df > %d from "
+                  "candidate generation", n_hot, max_df)
     keep = (toks.join(dfreq.where(F.col("df") <= max_df).select("tok"),
                       "tok"))
     a = keep.select(F.col("doc_id").alias("doc_a"), "tok")

@@ -131,7 +131,6 @@ def warm_python_workers(spark, n: Optional[int] = None) -> None:
     first real grouped-map stage doesn't pay the worker-spawn storm.
     On a long-lived cluster this is a non-event; in benchmarks it
     separates steady-state throughput from process startup."""
-    import pandas as pd  # local import: driver-side only
     parts = n or int(spark.conf.get("spark.sql.shuffle.partitions")) * 2
     (spark.range(parts).repartition(parts, "id").groupBy("id")
      .applyInPandas(lambda p: p, "id long").count())

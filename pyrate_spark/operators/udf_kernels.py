@@ -51,12 +51,19 @@ def _vcmt_for(vcm_mode: str, phase, ifirst, isecond, maxvar=None):
     """identity (default), Biggs pattern x per-key sample variance
     ('pattern'), or Biggs pattern x the precomputed FFT-autocovariance
     maxvar column ('maxvar', covariance.py:312-343 — join maxvar_full
-    output onto the pairs frame first)."""
+    output onto the pairs frame first). 'maxvar' accepts the PER-ROW
+    vector (the reference's per-ifg sigma_i*sigma_j weighting); a
+    scalar broadcasts; non-finite entries fall back to 1.0."""
     n = len(phase)
     if vcm_mode == "maxvar":
-        mv = float(maxvar) if maxvar is not None and \
-            np.isfinite(maxvar) else 1.0
-        return get_vcmt(ifirst, isecond, np.full(n, max(mv, 1e-9)))
+        if maxvar is None:
+            mv = np.ones(n)
+        else:
+            mv = np.asarray(maxvar, dtype=np.float64)
+            if mv.ndim == 0:
+                mv = np.full(n, float(mv))
+            mv = np.where(np.isfinite(mv), mv, 1.0)
+        return get_vcmt(ifirst, isecond, np.maximum(mv, 1e-9))
     if vcm_mode == "pattern":
         finite = np.isfinite(phase)
         mv = float(np.var(phase[finite], ddof=1)) if finite.sum() > 1 else 1.0
@@ -112,7 +119,7 @@ def make_timeseries_fn(method: int, pthr: int, smorder: int,
                 sel = ~np.isnan(phase)
                 interp = 0
             vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond,
-                             mv_all[idx][0] if mv_all is not None else None)
+                             mv_all[idx] if mv_all is not None else None)
             try:
                 _, tsincr, tscuml = time_series_pixel(
                     phase, ifirst, isecond, spans, method=method,
@@ -173,7 +180,7 @@ def make_stack_fn(nsig: float, pthr: int, nsig_scale: float,
             obs = np.where(np.isnan(phase), 0.0, phase)   # stack.py:179
             _, _, ifirst, isecond = epochs_from_pairs(fs, ss)
             vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond,
-                             mv_all[idx][0] if mv_all is not None else None)
+                             mv_all[idx] if mv_all is not None else None)
             try:
                 rate, err, samp = stack_rate_pixel(
                     obs, sel, vcmt, span[None, :], nsig, pthr)

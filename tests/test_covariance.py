@@ -209,3 +209,58 @@ class TestGaussianLowpass:
         assert np.abs(np.mean(out) - 10.0) < 1e-9
         amp = np.abs(out - 10).max()
         assert 0.05 < amp < 1.0
+
+
+class TestPerRowMaxvarVCM:
+    """vcm_mode='maxvar' must honour a per-PAIR maxvar vector (the
+    reference's get_vcmt takes per-ifg maxvar: sigma_i*sigma_j), not
+    just the first row's value."""
+
+    def test_vcmt_for_uses_full_vector(self):
+        from pyrate_spark.operators.udf_kernels import _vcmt_for
+        phase = np.array([1.0, 2.0, 3.0])
+        ifirst = np.array([0, 1, 0])
+        isecond = np.array([1, 2, 2])
+        mv = np.array([4.0, 9.0, np.nan])     # nan -> 1.0 fallback
+        got = _vcmt_for("maxvar", phase, ifirst, isecond, mv)
+        want = get_vcmt(ifirst, isecond, np.array([4.0, 9.0, 1.0]))
+        np.testing.assert_allclose(got, want)
+        # varying vector differs from broadcasting the first entry
+        flat = _vcmt_for("maxvar", phase, ifirst, isecond, mv[0])
+        assert not np.allclose(got, flat)
+
+    def test_stack_kernel_gets_per_row_maxvar(self, spark):
+        import datetime as dt
+        from pyrate_spark.config import EngineConfig
+        from pyrate_spark.operators.grouped import stack_rate_per_url
+        from pyrate_spark.kernels.stack import stack_rate_pixel
+        from pyrate_spark.kernels.epochs import epochs_from_pairs
+        base = dt.datetime(2024, 1, 1)
+        t = [base + dt.timedelta(days=30 * k) for k in range(5)]
+        vals = [1.0, 1.2, 0.8, 1.1]
+        mvs = [1.0, 4.0, 9.0, 16.0]           # varies per pair
+        spans = [30 / 365.25] * 4
+        rows = [("u", t[k], t[k + 1], vals[k], spans[k], 0.0, mvs[k])
+                for k in range(4)]
+        pairs = spark.createDataFrame(
+            rows, "url string, ts_first timestamp, ts_second timestamp, "
+            "delta_value double, time_span double, nan_fraction double, "
+            "maxvar double")
+        cfg = EngineConfig(nsig=10 ** 9, pthr=1, velerror_nsig=1,
+                           salt_buckets=4, vcm_mode="maxvar")
+        got = stack_rate_per_url(pairs, cfg, use_mst=False).first()
+        fs = np.array([(x - base).total_seconds() for x in t[:4]])
+        ss = np.array([(x - base).total_seconds() for x in t[1:]])
+        _, _, ifirst, isecond = epochs_from_pairs(fs, ss)
+        vcmt = get_vcmt(ifirst, isecond, np.array(mvs))
+        rate, err, n = stack_rate_pixel(
+            np.array(vals), np.ones(4, bool), vcmt,
+            np.array(spans)[None, :], 10 ** 9, 1)
+        assert got["rate"] == pytest.approx(rate)
+        assert got["error"] == pytest.approx(err)
+        # and differs from the old first-row-broadcast behaviour
+        vcmt_flat = get_vcmt(ifirst, isecond, np.full(4, mvs[0]))
+        r_flat, e_flat, _ = stack_rate_pixel(
+            np.array(vals), np.ones(4, bool), vcmt_flat,
+            np.array(spans)[None, :], 10 ** 9, 1)
+        assert e_flat != pytest.approx(err)
