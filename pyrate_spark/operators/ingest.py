@@ -35,17 +35,13 @@ PAGES_OUT = ("url string, warc_ts timestamp, html binary, text string, "
              "lang string, segment_epoch timestamp")
 
 
-def write_segments(pages: DataFrame, out_dir: str,
-                   segment: str = "1 day") -> int:
-    """Serialise pages into per-window binary segment files. Fully
-    distributed: one grouped-map task per segment window writes its own
-    file (atomic tmp+rename), nothing is collected to the driver.
-    Executors must share a filesystem at ``out_dir`` — true in local
-    mode and on clusters with NFS / fuse-mounted object stores; a pure
-    HDFS deployment would swap the open() for the Hadoop FS API.
-    Returns the number of segments written."""
-    import os
-    os.makedirs(out_dir, exist_ok=True)
+def segment_payloads(pages: DataFrame,
+                     segment: str = "1 day") -> DataFrame:
+    """Distributed segment assembly: one grouped-map task per segment
+    window builds that window's complete binary payload (records sorted
+    by (url, ts), count trailer appended). Pure transformation — no
+    side effects — so it runs on any cluster. Returns
+    (seg string, payload binary, n long)."""
     win = F.window("warc_ts", segment)
     src = (pages
            .withColumn("_seg", F.date_format(win["start"],
@@ -54,8 +50,7 @@ def write_segments(pages: DataFrame, out_dir: str,
                    F.unix_timestamp("warc_ts").alias("ts_unix"),
                    "lang", "text"))
 
-    def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        import os as _os
+    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = pdf["_seg"].iloc[0]
         rs = pdf.sort_values(["url", "ts_unix"])
         body = "".join(
@@ -63,15 +58,45 @@ def write_segments(pages: DataFrame, out_dir: str,
             for u, t, l, x in zip(rs["url"], rs["ts_unix"],
                                   rs["lang"], rs["text"]))
         payload = body.encode("utf-8") + f"#count={len(rs)}\n".encode()
-        tmp = f"{out_dir}/.segment-{seg}.tmp"
-        with open(tmp, "wb") as f:
-            f.write(payload)
-        _os.replace(tmp, f"{out_dir}/segment-{seg}.bin")
-        return pd.DataFrame({"seg": [seg], "n": [len(rs)]})
+        return pd.DataFrame({"seg": [seg], "payload": [payload],
+                             "n": [len(rs)]})
 
-    res = (src.repartition("_seg").groupBy("_seg")
-           .applyInPandas(write_one, "seg string, n long"))
-    return res.count()
+    return (src.repartition("_seg").groupBy("_seg")
+            .applyInPandas(build_one, "seg string, payload binary, n long"))
+
+
+def write_segments(pages: DataFrame, out_dir: str,
+                   segment: str = "1 day") -> int:
+    """Serialise pages into per-window binary segment files named
+    ``segment-<epoch14>.bin``. Payload assembly is distributed
+    (``segment_payloads``); file EMISSION goes through the Hadoop
+    FileSystem API (atomic tmp+rename), so it works identically on
+    local FS, HDFS, and object stores — no executor-local ``open()``.
+    Payloads stream through the driver one segment at a time
+    (``toLocalIterator``): the file-per-segment naming contract makes
+    the emitter a serial point by design; segment count is calendar-
+    bounded (one per window), not data-bounded. For data-scale
+    fan-out, write ``segment_payloads`` as a table instead. Returns
+    the number of segments written."""
+    spark = pages.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = hpath(out_dir)
+    fs = base.getFileSystem(conf)
+    fs.mkdirs(base)
+    n = 0
+    for row in segment_payloads(pages, segment).toLocalIterator():
+        tmp = hpath(f"{out_dir}/.segment-{row['seg']}.tmp")
+        dest = hpath(f"{out_dir}/segment-{row['seg']}.bin")
+        out = fs.create(tmp, True)
+        out.write(bytearray(row["payload"]))
+        out.close()
+        if fs.exists(dest):
+            fs.delete(dest, False)
+        fs.rename(tmp, dest)
+        n += 1
+    return n
 
 
 def read_segments(spark: SparkSession, path: str) -> DataFrame:
