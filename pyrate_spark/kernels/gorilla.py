@@ -65,11 +65,171 @@ _DOD_RANGES = (
 )
 
 
+# per-byte leading/trailing-zero LUTs for the vectorized clz/ctz
+_CLZ8 = np.array([8] + [8 - i.bit_length() for i in range(1, 256)],
+                 dtype=np.uint8)
+_CTZ8 = np.array([8] + [(i & -i).bit_length() - 1 for i in range(1, 256)],
+                 dtype=np.uint8)
+
+
+def _clz_ctz64(x: np.ndarray):
+    """(leading, trailing) zero counts of a uint64 vector via the byte
+    LUTs — endian-safe (explicit big-endian byte view)."""
+    b = x.byteswap().view(np.uint8).reshape(-1, 8)   # MSB first
+    rows = np.arange(len(b))
+    nz = b != 0
+    first = np.where(nz.any(1), nz.argmax(1), 8)
+    lead = first * 8 + np.where(
+        first < 8, _CLZ8[b[rows, np.minimum(first, 7)]], 0)
+    rev = b[:, ::-1]
+    nz2 = rev != 0
+    last = np.where(nz2.any(1), nz2.argmax(1), 8)
+    trail = last * 8 + np.where(
+        last < 8, _CTZ8[rev[rows, np.minimum(last, 7)]], 0)
+    return lead.astype(np.int64), trail.astype(np.int64)
+
+
+_WIDTH_MASK = np.array([(1 << i) - 1 for i in range(65)], dtype=object
+                       ).astype(np.uint64)
+
+
+def _pack_tokens(tok_vals, tok_widths) -> bytes:
+    """Vectorized MSB-first bit packing of (value, width ≤ 64) tokens —
+    the _BitWriter's output, computed by word-aligned OR-scatter.
+    Width-0 tokens emit nothing.
+
+    Each token lands in at most two aligned 64-bit words (its start
+    offset is < 64 within a word, width ≤ 64): the in-word part is
+    OR-reduced per word with ``bitwise_or.reduceat`` (token starts are
+    monotonic, so same-word tokens are contiguous) and the spill into
+    the next word ORs in with ``bitwise_or.at``. Total memory traffic
+    is ~16 bytes per token — the naive expand-every-bit-to-a-byte
+    approach moves ~60x more and was fault-bound on this microVM."""
+    v_all = np.ascontiguousarray(tok_vals, dtype=np.uint64)
+    w_all = np.ascontiguousarray(tok_widths, dtype=np.int64)
+    keep = w_all > 0
+    if not keep.all():
+        v_all, w_all = v_all[keep], w_all[keep]
+    if len(w_all) == 0:
+        return b""
+    cum = np.cumsum(w_all)
+    total = int(cum[-1])
+    starts = cum - w_all                      # global bit start per token
+    # mask values to their width (write() semantics) via one LUT gather
+    wu = w_all.astype(np.uint64)
+    v = v_all & _WIDTH_MASK[w_all]
+    word = starts >> 6
+    off = (starts & 63).astype(np.uint64)
+    end = off + wu
+    fits = end <= np.uint64(64)
+    sh_hi = np.where(fits, np.uint64(64) - end, np.uint64(0))
+    sh_hi2 = np.where(fits, np.uint64(0), end - np.uint64(64))
+    hi = np.where(fits, v << sh_hi, v >> sh_hi2)
+    nwords = (total + 63) // 64
+    out = np.zeros(nwords, dtype=np.uint64)
+    seg = np.concatenate(([0], np.flatnonzero(np.diff(word)) + 1))
+    out[word[seg]] = np.bitwise_or.reduceat(hi, seg)
+    spill = np.flatnonzero(~fits)
+    if len(spill):
+        sh_lo = np.uint64(128) - end[spill]   # in [1, 63]
+        np.bitwise_or.at(out, word[spill] + 1, v[spill] << sh_lo)
+    nbytes = (total + 7) // 8
+    return out.byteswap().tobytes()[:nbytes]
+
+
 def encode_block(timestamps: np.ndarray, values: np.ndarray) -> bytes:
     """Encode parallel (int64 seconds, float64) arrays into one block.
 
     Header: n (uint32) | t0 (int64) | first delta (int64) | v0 raw bits.
-    """
+
+    Fully vectorized encoder. The one policy difference from the
+    per-point reference encoder (``_encode_block_scalar``): instead of
+    the paper's greedy per-value window adaptation, the XOR window is
+    BLOCK-STATIC — one '11' control opens the window
+    (min leading, min trailing over the block's nonzero XORs) and every
+    later nonzero XOR reuses it via '10', which is always valid because
+    the block minima cover each value by construction. The bitstream
+    stays fully Gorilla-decodable (``decode_block`` inverts both
+    encoders); compression is within a few percent on tier-shaped data
+    (asserted in tests) and encode throughput is ~10x the per-point
+    loop. Every token is emitted arraywise (interleaved 4-slot layout,
+    width-0 slots drop out in packing); no per-point Python runs."""
+    ts = np.asarray(timestamps, dtype=np.int64)
+    vals = np.asarray(values, dtype=np.float64)
+    n = len(ts)
+    if n == 0:
+        return struct.pack(">I", 0)
+    head = struct.pack(">Iq", n, int(ts[0]))
+    prev_delta = 0
+    if n > 1:
+        prev_delta = int(ts[1] - ts[0])
+    head += struct.pack(">q", prev_delta)
+    bits = vals.view(np.uint64)
+    head += struct.pack(">Q", int(bits[0]))
+    if n == 1:
+        return head
+
+    m = n - 1                                     # encoded points
+    u1 = np.uint64(1)
+
+    # ---- timestamp slots (A: control+small payload, B: 64-bit payload)
+    slot_a_v = np.zeros(m, dtype=np.uint64)
+    slot_a_w = np.zeros(m, dtype=np.int64)
+    slot_b_v = np.zeros(m, dtype=np.uint64)
+    slot_b_w = np.zeros(m, dtype=np.int64)
+    if n > 2:
+        d = np.diff(ts)
+        dod = d[1:] - d[:-1]
+        du = dod.astype(np.uint64)
+        c0 = dod == 0
+        c1 = (dod >= -64) & (dod <= 63) & ~c0
+        c2 = (dod >= -256) & (dod <= 255) & ~c0 & ~c1
+        c3 = (dod >= -2048) & (dod <= 2047) & ~(c0 | c1 | c2)
+        c4 = ~(c0 | c1 | c2 | c3)
+        av = np.select(
+            [c0, c1, c2, c3],
+            [np.uint64(0),
+             (np.uint64(0b10) << np.uint64(7)) | (du & np.uint64(0x7F)),
+             (np.uint64(0b110) << np.uint64(9)) | (du & np.uint64(0x1FF)),
+             (np.uint64(0b1110) << np.uint64(12)) | (du & np.uint64(0xFFF))],
+            default=np.uint64(0b1111))
+        aw = np.select([c0, c1, c2, c3], [1, 9, 12, 16], default=4)
+        slot_a_v[1:] = av
+        slot_a_w[1:] = aw
+        slot_b_v[1:] = np.where(c4, du, np.uint64(0))
+        slot_b_w[1:] = np.where(c4, 64, 0)
+
+    # ---- value slots (C: control [+ window header], D: payload)
+    xors = bits[1:] ^ bits[:-1]
+    nz = xors != np.uint64(0)
+    slot_c_v = np.zeros(m, dtype=np.uint64)       # '0' for xor == 0
+    slot_c_w = np.ones(m, dtype=np.int64)
+    slot_d_v = np.zeros(m, dtype=np.uint64)
+    slot_d_w = np.zeros(m, dtype=np.int64)
+    if nz.any():
+        lead, trail = _clz_ctz64(xors)
+        lz = int(min(np.min(lead[nz]), 31))
+        tz = int(np.min(trail[nz]))
+        mbits = 64 - lz - tz
+        slot_c_v[nz] = np.uint64(0b10)
+        slot_c_w[nz] = 2
+        first = int(np.flatnonzero(nz)[0])
+        slot_c_v[first] = np.uint64(
+            (0b11 << 11) | (lz << 6) | (mbits - 1))
+        slot_c_w[first] = 13
+        slot_d_v[nz] = xors[nz] >> np.uint64(tz)
+        slot_d_w[nz] = mbits
+
+    tv = np.stack([slot_a_v, slot_b_v, slot_c_v, slot_d_v], 1).ravel()
+    tw = np.stack([slot_a_w, slot_b_w, slot_c_w, slot_d_w], 1).ravel()
+    return head + _pack_tokens(tv, tw)
+
+
+def _encode_block_scalar(timestamps: np.ndarray,
+                         values: np.ndarray) -> bytes:
+    """The original per-point bit-twiddling encoder, kept as the
+    byte-exactness reference for the vectorized path (and the
+    microbench baseline in scripts/bench_gorilla.py)."""
     ts = np.asarray(timestamps, dtype=np.int64)
     vals = np.asarray(values, dtype=np.float64)
     n = len(ts)
@@ -86,7 +246,6 @@ def encode_block(timestamps: np.ndarray, values: np.ndarray) -> bytes:
 
     prev_bits = int(bits[0])
     prev_leading, prev_trailing = 65, 0   # invalid marker per paper
-    prev_ts = int(ts[0]) + prev_delta if n > 1 else int(ts[0])
 
     for i in range(1, n):
         # --- timestamp: delta-of-delta ---
