@@ -25,6 +25,15 @@ def get_session(app_name: str = "pyrate-spark",
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                 "MKL_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # glibc: keep big numpy buffers on the heap (reused) instead of
+    # per-allocation mmap/munmap cycles. On hosts where first-touch
+    # page faulting is slow (measured ~2k faults/s on this microVM
+    # under memory-manager pressure), refaulting a freed-and-remmapped
+    # 100 MB kernel temporary costs SECONDS per allocation; heap reuse
+    # pays it once per worker. Read by glibc at process start, so it
+    # must be exported before the JVM forks the python workers.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
     master = f"local[{cpus}]" if cpus else "local[*]"
     builder = (
