@@ -108,6 +108,24 @@ def main():
     meta["rollup_rows_per_sec"] = round(
         n_rows / max(timings["pages_rollup_cascade"], 1e-9))
 
+    # ---- Gorilla tier encode (the tier sink's codec, distributed) ----
+    if _want("gorilla_tier_encode"):
+        from pyrate_spark.operators.tiersink import encode_tier
+        hourly = tier_rollup(series, "1 hour", thresh=0.5).persist()
+        n_buckets = hourly.count()          # fill cache, untimed
+
+        def enc():
+            e = encode_tier(hourly, "1 hour",
+                            cfg=EngineConfig(salt_buckets=CPUS * 8))
+            return e.agg(F.sum("n_points").alias("p"),
+                         F.sum("bytes_encoded").alias("b")).first()
+
+        r = timed("gorilla_tier_encode", enc)
+        meta["gorilla_points_per_sec"] = round(
+            n_buckets / max(timings["gorilla_tier_encode"], 1e-9))
+        meta["gorilla_bytes_per_point"] = round(r["b"] / max(r["p"], 1), 2)
+        hourly.unpersist()
+
     # ---- per-url inversion + linear rate (grouped-map kernels) ----
     cfg = EngineConfig(ts_method=2, ts_pthr=0, velerror_nsig=1,
                        salt_buckets=CPUS * 8)

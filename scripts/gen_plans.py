@@ -126,6 +126,40 @@ add("Embedding-cosine near-dup (brute baseline)",
                fromlist=["cosine_near_pairs"]).cosine_near_pairs(
         emb, threshold=0.2))
 
+add("Embedding-cosine near-dup (LSH scale path)",
+    "The 10^12-row variant: multi-table hyperplane signatures (one "
+    "numpy matmul per Arrow batch), candidate = per-table signature "
+    "equi-join (the ONLY shuffle keys), exact verify on survivors — "
+    "no all-pairs join anywhere in the plan.",
+    __import__("pyrate_spark.operators.similarity",
+               fromlist=["cosine_near_pairs"]).cosine_near_pairs(
+        emb, threshold=0.2, method="lsh"))
+
+from pyrate_spark.operators.corrections import cohort_lowpass_fft
+add("Cohort spectral low-pass (T12, FFT grouped-map)",
+    "Two-level shape: a tiny per-(cohort, bucket) aggregate feeds ONE "
+    "grouped-map whose per-group state is a single time-grid array "
+    "(calendar-bounded, not row-bounded); the filtered grid joins back "
+    "onto rows where AQE broadcasts the small side.",
+    cohort_lowpass_fft(series, EngineConfig(salt_buckets=4),
+                       cohort_expr=F.col("lang")))
+
+from pyrate_spark.operators.lookup import (lookup_join,
+                                           lookup_table_select,
+                                           multilook_tiles)
+cells = series.select(
+    (F.floor(F.unix_timestamp("warc_ts") / 86400) % 32).alias("y"),
+    F.hour("warc_ts").cast("long").alias("x"), "value")
+lt_dim = cells.groupBy("y", "x").agg(F.avg("value").alias("az"),
+                                     F.count("value").alias("rg"))
+add("Lookup-table centre-sample + pairing (S10)",
+    "Crop + multilook centre-sampling is pure filter algebra on the "
+    "dimension table (no shuffle); the pairing is an explicit "
+    "BroadcastHashJoin — the selected lookup is 1/(xlooks*ylooks) of "
+    "an already-small dim table at any data scale.",
+    lookup_join(multilook_tiles(cells, 3, 2, 0, 18, 0, 24),
+                lookup_table_select(lt_dim, 3, 2, 0, 18, 0, 24)))
+
 from pyrate_spark.sources.tables import write_tier_ranged
 import glob
 write_tier_ranged(tier_rollup(series, "1 hour", 0.5),

