@@ -116,6 +116,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERY_IDS = list(range(10))      # similarity query vectors
 
+
+def _run_stateful_once(spark, frame, build_stream, ddl):
+    """Write `frame`, run one single-batch availableNow pass of a
+    stateful streaming job over it, read the sink back. Append-mode
+    applyInPandasWithState emits fully per batch (no watermark
+    withholding), so one batch over in-order data IS the complete
+    result — the deterministic gate shape for stateful twins."""
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="pyrate_stream_gate_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    frame.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ddl).parquet(src)
+    job = (build_stream(stream).writeStream.format("parquet")
+           .option("path", out).option("checkpointLocation", ckpt)
+           .outputMode("append").trigger(availableNow=True).start())
+    job.awaitTermination(300)
+    return spark.read.parquet(out)
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -852,6 +870,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count(F.lit(1)).alias("count_order")))
     q["pricing_summary"] = q_pricing_summary
 
+    # ---------------- stateful streaming twins (§2.9, tail) ----------
+    def q_streaming_gapfill_locf(spark, sf):
+        """Stateful LOCF gap-filler (applyInPandasWithState), one
+        availableNow batch == the batch gapfill oracle row-for-row."""
+        from pyrate_spark.streaming.gapfill import streaming_gapfill_locf
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .select("url", "bucket_start", "value_avg"))
+        out = _run_stateful_once(
+            spark, t, lambda s: streaming_gapfill_locf(s, 3600),
+            "url string, bucket_start timestamp, value_avg double")
+        return out.select("url", _u("bucket_start").alias("bucket_unix"),
+                          _nn(F.round("value_filled", 5))
+                          .alias("value_filled"))
+    q["streaming_gapfill_locf"] = q_streaming_gapfill_locf
+
+    def q_streaming_cumsum(spark, sf):
+        """Stateful running total (A6 twin) over the non-null hourly
+        tier, one availableNow batch == the batch cumulative oracle."""
+        from pyrate_spark.streaming.corrections import streaming_cumsum
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .where(F.col("value_avg").isNotNull())
+             .select("url", "bucket_start", "value_avg"))
+        out = _run_stateful_once(
+            spark, t, streaming_cumsum,
+            "url string, bucket_start timestamp, value_avg double")
+        return out.select("url", _u("bucket_start").alias("bucket_unix"),
+                          F.round("value_cuml", 5).alias("value_cuml"))
+    q["streaming_cumsum"] = q_streaming_cumsum
+
     # The driver's correctness gate runs the FIRST 50 dict entries only.
     # Every operator's PRIMARY gate must sit inside that window; the
     # tail holds redundant exact-baseline variants whose operators are
@@ -868,7 +915,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     gate D1
     #   refpixel_argmin — O1 argmin, also exercised by refpixel_grid
     #                     and inside the T9 stack kernel
-    tail = ["dedup_jaccard", "dedup_cosine", "knn_bruteforce",
+    #   streaming_gapfill_locf / streaming_cumsum — secondary §2.9
+    #                     twins (streaming_rollup_hourly is the
+    #                     in-window streaming gate; their batch twins
+    #                     gapfill_locf / cumulative_hourly are
+    #                     in-window, and batch-equivalence is also
+    #                     pytest-asserted across micro-batch splits)
+    tail = ["streaming_gapfill_locf", "streaming_cumsum",
+            "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
             "linear_rate_sql", "rollup_weekly", "refpixel_argmin"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
@@ -1038,6 +1092,10 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g LEFT JOIN v
           ON g.url = v.url AND g.bucket_unix = v.bucket_unix
     """
+
+    # stateful streaming twins replay the SAME batch oracles
+    o["streaming_gapfill_locf"] = o["gapfill_locf"]
+    o["streaming_cumsum"] = o["cumulative_hourly"]
 
     o["nan_fraction"] = f"""
         SELECT url,
