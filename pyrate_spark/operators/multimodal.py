@@ -52,20 +52,32 @@ def extract_features(assets: DataFrame, feat_dim: int = 8,
             raise NotImplementedError(
                 "real image/audio decode requires PIL/libav — not in this "
                 "runtime; swap this function when deploying")
+        if payload is None or len(payload) == 0:
+            # the stand-in for a real decoder's corrupt-input error
+            raise ValueError("undecodable payload")
         h = hashlib.sha256(payload).digest()
         raw = np.frombuffer(h[: feat_dim * 4], dtype=np.uint32)
         return (raw.astype(np.float32) / np.float32(2 ** 32))
 
     def batches(it):
         for pdf in it:
-            feats = [
-                _decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            feats, oks = [], []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                # ValueError = corrupt INPUT -> row flagged, job
+                # continues; NotImplementedError = missing runtime
+                # CAPABILITY -> propagate, the job must fail loudly
+                try:
+                    feats.append(_decode(p, k).tolist())
+                    oks.append(True)
+                except ValueError:
+                    feats.append(None)
+                    oks.append(False)
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "kind": pdf["kind"],
-                "feat": [f.tolist() for f in feats],
+                "feat": feats,
                 "feat_dim": feat_dim,
-                "decode_ok": True,
+                "decode_ok": oks,
             })
 
     return (assets.repartition("kind")     # co-locate homogeneous decode
@@ -101,20 +113,28 @@ def resize_assets(assets: DataFrame, max_w: int = 256, max_h: int = 256,
             raise NotImplementedError(
                 "real pixel resize requires PIL — not in this runtime; "
                 "swap this function when deploying")
+        if payload is None or len(payload) == 0:
+            raise ValueError("undecodable payload")
         return hashlib.sha256(payload + f"@{w}x{h}".encode()).digest()
 
     def batches(it):
         for pdf in it:
+            outs, oks = [], []
+            for p, w, h in zip(pdf["payload"], pdf["out_width"],
+                               pdf["out_height"]):
+                try:
+                    outs.append(_resize(p, w, h))
+                    oks.append(True)
+                except ValueError:
+                    outs.append(None)
+                    oks.append(False)
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "kind": pdf["kind"],
                 "out_width": pdf["out_width"],
                 "out_height": pdf["out_height"],
-                "payload_resized": [
-                    _resize(p, w, h) for p, w, h in
-                    zip(pdf["payload"], pdf["out_width"],
-                        pdf["out_height"])],
-                "decode_ok": True,
+                "payload_resized": outs,
+                "decode_ok": oks,
             })
 
     return sized.repartition("kind").mapInPandas(batches, RESIZE_SCHEMA)

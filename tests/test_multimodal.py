@@ -1,0 +1,70 @@
+"""Multimodal plumbing: decode failure rows are flagged (not fatal),
+capability gaps fail loudly, resize geometry is exact."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrate_spark.operators.multimodal import (extract_features,
+                                               frame_sample_plan,
+                                               resize_assets, synth_assets)
+
+
+def _with_corrupt(spark, n=9):
+    """synth assets with every third payload emptied (undecodable)."""
+    a = synth_assets(spark, n)
+    return a.withColumn(
+        "payload",
+        F.when(F.pmod("asset_id", F.lit(3)) == 0,
+               F.lit(b"")).otherwise(F.col("payload")))
+
+
+def test_decode_failure_flags_rows(spark):
+    out = extract_features(_with_corrupt(spark), feat_dim=4).collect()
+    by_id = {r["asset_id"]: r for r in out}
+    assert len(by_id) == 9
+    for i, r in by_id.items():
+        if i % 3 == 0:
+            assert r["decode_ok"] is False and r["feat"] is None
+        else:
+            assert r["decode_ok"] is True and len(r["feat"]) == 4
+
+
+def test_resize_failure_flags_rows(spark):
+    out = resize_assets(_with_corrupt(spark), 64, 64).collect()
+    for r in out:
+        if r["asset_id"] % 3 == 0:
+            assert r["decode_ok"] is False and r["payload_resized"] is None
+        else:
+            assert r["decode_ok"] is True
+            assert len(bytes(r["payload_resized"])) == 32
+        # geometry is computed regardless of pixel-stage success
+        assert 1 <= r["out_width"] <= 64 and 1 <= r["out_height"] <= 64
+
+
+def test_capability_gap_fails_loudly(spark):
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as exc:
+        extract_features(synth_assets(spark, 3), fake=False).collect()
+    assert "NotImplementedError" in str(exc.value)
+
+
+def test_resize_geometry_aspect_preserving(spark):
+    rows = (resize_assets(synth_assets(spark, 40), 256, 256)
+            .select("asset_id", "out_width", "out_height")
+            .join(synth_assets(spark, 40), "asset_id").collect())
+    for r in rows:
+        s = min(256 / r["width"], 256 / r["height"], 1.0)
+        assert r["out_width"] == max(int(r["width"] * s), 1)
+        assert r["out_height"] == max(int(r["height"] * s), 1)
+
+
+def test_frame_sample_counts(spark):
+    plan = frame_sample_plan(synth_assets(spark, 12), every_ms=100)
+    rows = plan.groupBy("asset_id").count().collect()
+    vids = {r["asset_id"]: r["count"] for r in rows}
+    src = {r["asset_id"]: r["duration_ms"]
+           for r in synth_assets(spark, 12).collect()
+           if r["kind"] == "video/mp4"}
+    assert set(vids) == set(src)
+    for i, c in vids.items():
+        assert c == max(src[i] - 1, 0) // 100 + 1
