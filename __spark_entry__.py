@@ -870,6 +870,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count(F.lit(1)).alias("count_order")))
     q["pricing_summary"] = q_pricing_summary
 
+    def q_retention_policy(spark, sf):
+        """Tiered retention policy (the engine's 'retention' leg):
+        per-tier day-aligned cutoffs relative to the newest datum —
+        raw keeps 14 days, hourly 21, daily forever — and surviving
+        row counts through the partition-prunable predicate. The
+        physical partition-drop path (expire_day_store: Hadoop-FS
+        delete of whole day partitions, no data scan) is
+        pytest-verified; this gates the policy math."""
+        import datetime
+        import functools
+        from pyrate_spark.plans.retention import (policy_cutoff_day,
+                                                  surviving)
+        s = _events(spark, sf)
+        now = s.agg(F.max("warc_ts")).first()[0]
+        hourly = tier_rollup(s, "1 hour", thresh=0.5)
+        daily = cascade_rollup(hourly, "1 day", thresh=0.5)
+        tiers = [("raw", s, "warc_ts", 14),
+                 ("hourly", hourly, "bucket_start", 21),
+                 ("daily", daily, "bucket_start", None)]
+        frames = []
+        for name, df, col, keep in tiers:
+            cut = policy_cutoff_day(now, keep)
+            cu = None if cut is None else int(
+                datetime.datetime.strptime(cut, "%Y-%m-%d")
+                .replace(tzinfo=datetime.timezone.utc).timestamp())
+            frames.append(
+                surviving(df, keep, now, ts_col=col)
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .select(F.lit(name).alias("tier"),
+                        F.lit(cu).cast("long").alias("cutoff_unix"),
+                        F.col("n_rows").cast("long").alias("n_rows")))
+        return functools.reduce(lambda a, b: a.unionAll(b), frames)
+    q["retention_policy"] = q_retention_policy
+
     # ---------------- stateful streaming twins (§2.9, tail) ----------
     def q_streaming_gapfill_locf(spark, sf):
         """Stateful LOCF gap-filler (applyInPandasWithState), one
@@ -921,7 +955,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     gapfill_locf / cumulative_hourly are
     #                     in-window, and batch-equivalence is also
     #                     pytest-asserted across micro-batch splits)
-    tail = ["streaming_gapfill_locf", "streaming_cumsum",
+    #   retention_policy — policy-math gate; D2 extent crop
+    #                     (retention_intersection) is in-window and the
+    #                     physical partition-drop is pytest-verified
+    tail = ["retention_policy", "streaming_gapfill_locf",
+            "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
             "linear_rate_sql", "rollup_weekly", "refpixel_argmin"]
     ordered = {k: v for k, v in q.items() if k not in tail}
@@ -1096,6 +1134,31 @@ def oracle_sql() -> dict[str, str]:
     # stateful streaming twins replay the SAME batch oracles
     o["streaming_gapfill_locf"] = o["gapfill_locf"]
     o["streaming_cumsum"] = o["cumulative_hourly"]
+
+    # retention policy: day-aligned cutoff = day(max) - (keep-1) days;
+    # hourly buckets are day-prefix-aligned so the bucket_unix >=
+    # cutoff comparison equals the date_trunc predicate
+    o["retention_policy"] = f"""
+        WITH e AS ({ev}),
+        mx AS (SELECT date_trunc('day', max(warc_ts)) AS d0 FROM e),
+        h AS ({_HOURLY_SQL}),
+        d AS (SELECT url, bucket_unix // 86400 * 86400 AS db
+              FROM h GROUP BY 1, 2)
+        SELECT 'raw' AS tier,
+               (SELECT CAST(epoch(d0 - INTERVAL 13 DAY) AS BIGINT)
+                FROM mx) AS cutoff_unix,
+               (SELECT count(*) FROM e, mx
+                WHERE e.warc_ts >= mx.d0 - INTERVAL 13 DAY) AS n_rows
+        UNION ALL
+        SELECT 'hourly',
+               (SELECT CAST(epoch(d0 - INTERVAL 20 DAY) AS BIGINT)
+                FROM mx),
+               (SELECT count(*) FROM h, mx
+                WHERE h.bucket_unix >=
+                      CAST(epoch(mx.d0 - INTERVAL 20 DAY) AS BIGINT))
+        UNION ALL
+        SELECT 'daily', NULL, (SELECT count(*) FROM d)
+    """
 
     o["nan_fraction"] = f"""
         SELECT url,

@@ -1,0 +1,58 @@
+"""Retention policy: partition-drop expiry is metadata-only and agrees
+with the logical surviving() view."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pyrate_spark.plans.backfill import write_raw_store
+from pyrate_spark.plans.retention import (expire_day_store,
+                                          policy_cutoff_day, surviving)
+
+BASE = dt.datetime(2024, 3, 1, 6, 30)
+
+
+def _series(spark, days=6, per_day=4):
+    rows = [(f"u{k}", BASE + dt.timedelta(days=d, hours=3 * k),
+             float(d * 10 + k))
+            for d in range(days) for k in range(per_day)]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double")
+
+
+def test_cutoff_day_math():
+    now = dt.datetime(2024, 3, 6, 17, 45)
+    assert policy_cutoff_day(now, 1) == "2024-03-06"   # today only
+    assert policy_cutoff_day(now, 3) == "2024-03-04"
+    assert policy_cutoff_day(now, None) is None
+
+
+def test_expire_day_store_drops_partitions(spark, tmp_path):
+    path = str(tmp_path / "rawstore")
+    s = _series(spark)
+    write_raw_store(s, path)
+    now = BASE + dt.timedelta(days=5)                  # newest datum day
+    res = expire_day_store(spark, path, keep_days=2, now_ts=now)
+    assert res["cutoff_day"] == "2024-03-05"
+    assert res["dropped"] == ["2024-03-01", "2024-03-02", "2024-03-03",
+                              "2024-03-04"]
+    assert res["kept"] == ["2024-03-05", "2024-03-06"]
+    # what remains on disk == the logical surviving() view of the input
+    left = spark.read.parquet(path)
+    want = surviving(s, 2, now)
+    assert left.count() == want.count() == 8
+    assert (left.agg(F.sum("value")).first()[0]
+            == want.agg(F.sum("value")).first()[0])
+
+
+def test_surviving_is_prunable_predicate(spark, tmp_path):
+    """The logical view's day predicate reaches the scan as a
+    partition filter on the day-partitioned store."""
+    path = str(tmp_path / "rawstore2")
+    write_raw_store(_series(spark), path)
+    df = spark.read.parquet(path)
+    now = BASE + dt.timedelta(days=5)
+    plan = (surviving(df, 2, now)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+    assert surviving(df, None, now).count() == df.count()
