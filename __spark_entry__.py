@@ -904,6 +904,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return functools.reduce(lambda a, b: a.unionAll(b), frames)
     q["retention_policy"] = q_retention_policy
 
+    def q_checkpoint_roundtrip(spark, sf):
+        """S5/S8 gate: the hourly tier computed THROUGH the
+        checkpointed bucket runner — first pass stopped after 2 of 4
+        batches (simulated kill), second pass resumes the remainder —
+        read back from the partitioned store equals the direct-rollup
+        oracle row-for-row."""
+        import tempfile
+        from pyrate_spark.plans.checkpoint import (checkpointed_run,
+                                                   read_result)
+        out = tempfile.mkdtemp(prefix="pyrate_ckpt_gate_")
+        s = _events(spark, sf)
+
+        def tf(d):
+            return tier_rollup(d, "1 hour", thresh=0.5)
+
+        checkpointed_run(s, out, tf, n_buckets=16, batches=4,
+                         max_batches=2)
+        checkpointed_run(s, out, tf, n_buckets=16, batches=4)
+        t = read_result(spark, out)
+        return t.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.round("value_avg", 5).alias("value_avg"),
+                        F.round("null_fraction", 6).alias("null_fraction"),
+                        F.col("n_obs").cast("long").alias("n_obs"))
+    q["checkpoint_roundtrip"] = q_checkpoint_roundtrip
+
     # ---------------- stateful streaming twins (§2.9, tail) ----------
     def q_streaming_gapfill_locf(spark, sf):
         """Stateful LOCF gap-filler (applyInPandasWithState), one
@@ -958,8 +983,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   retention_policy — policy-math gate; D2 extent crop
     #                     (retention_intersection) is in-window and the
     #                     physical partition-drop is pytest-verified
-    tail = ["retention_policy", "streaming_gapfill_locf",
-            "streaming_cumsum",
+    #   checkpoint_roundtrip — persistence-layer gate; the tier math
+    #                     itself is in-window (rollup_hourly) and
+    #                     resume is also pytest-gated
+    tail = ["checkpoint_roundtrip", "retention_policy",
+            "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
             "linear_rate_sql", "rollup_weekly", "refpixel_argmin"]
     ordered = {k: v for k, v in q.items() if k not in tail}
@@ -1134,6 +1162,8 @@ def oracle_sql() -> dict[str, str]:
     # stateful streaming twins replay the SAME batch oracles
     o["streaming_gapfill_locf"] = o["gapfill_locf"]
     o["streaming_cumsum"] = o["cumulative_hourly"]
+    # persistence round-trip: checkpointed store == direct rollup
+    o["checkpoint_roundtrip"] = o["rollup_hourly"]
 
     # retention policy: day-aligned cutoff = day(max) - (keep-1) days;
     # hourly buckets are day-prefix-aligned so the bucket_unix >=
