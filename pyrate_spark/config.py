@@ -57,12 +57,71 @@ class EngineConfig:
     hot_key_salt: int = 8       # extra salt for skewed keys
     checkpoint_dir: str = ""    # per-partition checkpoint manifests; "" = off
 
+    def __post_init__(self):
+        """Range/enum validation mirroring the reference's typed
+        parameter table (pyrate/default_parameters.py MinValue/MaxValue/
+        PossibleValues, enforced by configuration.py:47-69
+        validate_parameter_value) so bad configs are rejected at
+        construction, before any job is planned. Engine extensions
+        beyond the reference ranges are noted inline."""
+        _validate(self)
+
     def params_hash(self) -> str:
         """Stable hash keying checkpoint manifests (analog of the
         reference's parameter-keyed npy reuse, orbital.py:392-407)."""
         return hashlib.sha256(
             json.dumps(asdict(self), sort_keys=True, default=str).encode()
         ).hexdigest()[:16]
+
+
+# (name, min, max, enum) per pyrate/default_parameters.py; None = no
+# bound. ts_pthr min is 0 here (0 = gate off, engine extension; the
+# reference's ts_pthr range is [1, 1000]).
+_RANGES = (
+    ("ts_method", None, None, (1, 2)),            # tsmethod
+    ("ts_pthr", 0, 1000, None),                   # ts_pthr (0 = off)
+    ("sm_order", None, None, (1, 2)),             # smorder
+    ("sm_factor", -5.0, 0.0, None),               # smfactor
+    ("nsig", 1, 10, None),                        # nsig
+    ("pthr", 1, None, None),                      # pthr
+    ("maxsig", 0, 1000, None),                    # maxsig
+    ("velerror_nsig", 1, None, None),             # velerror_nsig
+    ("vcm_mode", None, None,
+     ("identity", "pattern", "maxvar")),          # engine knob
+    ("tlpf_cutoff_days", 1, None, None),          # tlpfcutoff
+    ("tlpf_pthr", 1, None, None),                 # tlpfpthr
+    ("nan_thresh", 0.0, 1.0, None),               # noDataAveragingThreshold
+    ("max_pair_span_days", 1, None, None),        # engine knob
+    ("max_pairs_per_epoch", 1, None, None),       # engine knob
+    ("max_loop_length", 3, None, None),           # max_loop_length
+    ("max_loop_redundancy", 1, None, None),       # max_loop_redundancy
+    ("closure_thr", 0.01, None, None),            # closure_thr
+    ("min_loops_per_ifg", 1, None, None),         # min_loops_per_ifg
+    ("ifg_drop_thr", 0.01, 1.0, None),            # ifg_drop_thr
+    ("salt_buckets", 1, None, None),              # engine knob
+    ("hot_key_salt", 1, None, None),              # engine knob
+)
+
+
+def _validate(cfg: "EngineConfig") -> None:
+    for name, lo, hi, enum in _RANGES:
+        value = getattr(cfg, name)
+        if lo is not None and value < lo:
+            raise ValueError(
+                f"Invalid value for {name} supplied: {value}. Provide a "
+                f"value greater than or equal to {lo}.")
+        if hi is not None and value > hi:
+            raise ValueError(
+                f"Invalid value for {name} supplied: {value}. Provide a "
+                f"value less than or equal to {hi}.")
+        if enum is not None and value not in enum:
+            raise ValueError(
+                f"Invalid value for {name} supplied: {value}. Provide "
+                f"one of these values: {list(enum)}.")
+    if not cfg.tiers or not all(isinstance(t, str) and t for t in cfg.tiers):
+        raise ValueError(
+            f"Invalid value for tiers supplied: {cfg.tiers!r}. Provide a "
+            "non-empty tuple of window strings like ('1 hour', '1 day').")
 
 
 DEFAULT = EngineConfig()

@@ -48,9 +48,15 @@ class _BitReader:
 
     def read(self, bits: int) -> int:
         """Windowed field read: one ≤9-byte slice + int.from_bytes per
-        field instead of a Python loop per BIT (~15x decode)."""
+        field instead of a Python loop per BIT (~15x decode). Raises
+        on underrun — a silently-short slice would otherwise decode a
+        truncated/corrupt block into plausible-looking garbage."""
         pos = self.pos
         end = (pos + bits + 7) >> 3
+        if end > len(self.data):
+            raise ValueError(
+                f"gorilla block truncated: need {end} bytes, "
+                f"have {len(self.data)}")
         chunk = int.from_bytes(self.data[pos >> 3:end], "big")
         self.pos = pos + bits
         return (chunk >> (end * 8 - pos - bits)) & ((1 << bits) - 1)
@@ -81,8 +87,10 @@ _CTZ8 = np.array([8] + [(i & -i).bit_length() - 1 for i in range(1, 256)],
 
 def _clz_ctz64(x: np.ndarray):
     """(leading, trailing) zero counts of a uint64 vector via the byte
-    LUTs — endian-safe (explicit big-endian byte view)."""
-    b = x.byteswap().view(np.uint8).reshape(-1, 8)   # MSB first
+    LUTs — endian-safe: astype('>u8') yields an explicitly big-endian
+    buffer on any host (byteswap() alone swaps relative to NATIVE
+    order and would be wrong on a big-endian machine)."""
+    b = x.astype(">u8").view(np.uint8).reshape(-1, 8)   # MSB first
     rows = np.arange(len(b))
     nz = b != 0
     first = np.where(nz.any(1), nz.argmax(1), 8)
@@ -141,7 +149,8 @@ def _pack_tokens(tok_vals, tok_widths) -> bytes:
         sh_lo = np.uint64(128) - end[spill]   # in [1, 63]
         np.bitwise_or.at(out, word[spill] + 1, v[spill] << sh_lo)
     nbytes = (total + 7) // 8
-    return out.byteswap().tobytes()[:nbytes]
+    # explicit big-endian serialization (see _clz_ctz64 endianness note)
+    return out.astype(">u8").tobytes()[:nbytes]
 
 
 def encode_block(timestamps: np.ndarray, values: np.ndarray) -> bytes:

@@ -1,21 +1,54 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed by Arrow-batched mapInPandas stages.
 
-The decode step is STUBBED (no image/audio libraries in this runtime):
-``decode_stub`` raises NotImplementedError unless ``fake=True``, in
-which case it produces a deterministic hash-derived feature vector with
-the exact schema/batch shape a real decoder (PIL/libav) would emit —
-so the Spark-side plumbing (schema, partitioning, UDF signature, Arrow
-batch flow) is real and tested end-to-end.
+The decode step is CAPABILITY-DETECTED (r4): each mode accepts
+``fake=True`` (deterministic sha256-derived stand-in, the default —
+what the oracles gate), ``fake=False`` (require a real decoder; raises
+NotImplementedError where the runtime lacks it), or ``fake="auto"``
+(worker-side try-import of PIL: real pixel decode for images when PIL
+is present, stub otherwise — same schema either way). Audio/video
+decode needs libav and stays stub/NotImplementedError in every runtime
+this repo targets. The Spark-side plumbing (schema, partitioning, UDF
+signature, Arrow batch flow) is identical across all three modes and
+tested end-to-end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _pil_image():
+    """Worker-side capability probe: the PIL Image module, or None.
+    Called inside the UDF so detection happens on the EXECUTOR's
+    runtime, not the driver's."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def real_image_features(payload: bytes, feat_dim: int, Image) -> np.ndarray:
+    """Real pixel path (used when PIL is present): decode, grayscale,
+    resize to (feat_dim, feat_dim), features = row means / 255."""
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    img = img.resize((feat_dim, feat_dim))
+    arr = np.asarray(img, dtype=np.float32)
+    return arr.mean(axis=1) / np.float32(255.0)
+
+
+def stub_features(payload: bytes, feat_dim: int) -> np.ndarray:
+    """Deterministic sha256-derived stand-in feature vector (the
+    runtime-capability stub; exact real-decoder schema/shape)."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer(h[: feat_dim * 4], dtype=np.uint32)
+    return raw.astype(np.float32) / np.float32(2 ** 32)
 
 ASSET_SCHEMA = ("asset_id long, kind string, payload binary, "
                 "width int, height int, duration_ms int")
@@ -42,24 +75,40 @@ def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def extract_features(assets: DataFrame, feat_dim: int = 8,
-                     fake: bool = True) -> DataFrame:
-    """Decode + feature-extract via mapInPandas. With ``fake=True`` the
-    'decoder' derives a deterministic float vector from sha256(payload)
-    — the real decoder drops in by replacing _decode only."""
+                     fake: bool | str = True) -> DataFrame:
+    """Decode + feature-extract via mapInPandas.
 
-    def _decode(payload: bytes, kind: str) -> np.ndarray:
-        if not fake:
-            raise NotImplementedError(
-                "real image/audio decode requires PIL/libav — not in this "
-                "runtime; swap this function when deploying")
+    fake=True  -> sha256 stand-in (deterministic, oracle-gated);
+    fake="auto"-> real PIL pixel decode for images when the WORKER
+                  runtime has PIL, stub otherwise (same schema);
+    fake=False -> require real decode; NotImplementedError if the
+                  capability is missing (audio/video always — libav is
+                  out of every targeted runtime).
+    """
+
+    def _decode(payload: bytes, kind: str, Image) -> np.ndarray:
         if payload is None or len(payload) == 0:
             # the stand-in for a real decoder's corrupt-input error
             raise ValueError("undecodable payload")
-        h = hashlib.sha256(payload).digest()
-        raw = np.frombuffer(h[: feat_dim * 4], dtype=np.uint32)
-        return (raw.astype(np.float32) / np.float32(2 ** 32))
+        use_real = (fake is False
+                    or (fake == "auto" and Image is not None
+                        and kind.startswith("image/")))
+        if use_real:
+            if not kind.startswith("image/") or Image is None:
+                raise NotImplementedError(
+                    f"real decode for {kind} requires "
+                    f"{'PIL' if kind.startswith('image/') else 'libav'} "
+                    "— not in this runtime")
+            try:
+                return real_image_features(payload, feat_dim, Image)
+            except NotImplementedError:
+                raise
+            except Exception as exc:   # corrupt input, not capability
+                raise ValueError(f"undecodable payload: {exc}") from None
+        return stub_features(payload, feat_dim)
 
     def batches(it):
+        Image = _pil_image() if fake is not True else None
         for pdf in it:
             feats, oks = [], []
             for p, k in zip(pdf["payload"], pdf["kind"]):
@@ -67,7 +116,7 @@ def extract_features(assets: DataFrame, feat_dim: int = 8,
                 # continues; NotImplementedError = missing runtime
                 # CAPABILITY -> propagate, the job must fail loudly
                 try:
-                    feats.append(_decode(p, k).tolist())
+                    feats.append(_decode(p, k, Image).tolist())
                     oks.append(True)
                 except ValueError:
                     feats.append(None)
@@ -108,22 +157,36 @@ def resize_assets(assets: DataFrame, max_w: int = 256, max_h: int = 256,
                          F.greatest(F.floor(F.col("height") * scale),
                                     F.lit(1)).cast("int")))
 
-    def _resize(payload: bytes, w: int, h: int) -> bytes:
-        if not fake:
-            raise NotImplementedError(
-                "real pixel resize requires PIL — not in this runtime; "
-                "swap this function when deploying")
+    def _resize(payload: bytes, kind: str, w: int, h: int, Image) -> bytes:
         if payload is None or len(payload) == 0:
             raise ValueError("undecodable payload")
+        use_real = (fake is False
+                    or (fake == "auto" and Image is not None
+                        and kind.startswith("image/")))
+        if use_real:
+            if not kind.startswith("image/") or Image is None:
+                raise NotImplementedError(
+                    f"real pixel resize for {kind} requires PIL — "
+                    "not in this runtime")
+            try:
+                img = Image.open(io.BytesIO(payload))
+                buf = io.BytesIO()
+                img.resize((int(w), int(h))).save(buf, format="PNG")
+                return buf.getvalue()
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                raise ValueError(f"undecodable payload: {exc}") from None
         return hashlib.sha256(payload + f"@{w}x{h}".encode()).digest()
 
     def batches(it):
+        Image = _pil_image() if fake is not True else None
         for pdf in it:
             outs, oks = [], []
-            for p, w, h in zip(pdf["payload"], pdf["out_width"],
-                               pdf["out_height"]):
+            for p, k, w, h in zip(pdf["payload"], pdf["kind"],
+                                  pdf["out_width"], pdf["out_height"]):
                 try:
-                    outs.append(_resize(p, w, h))
+                    outs.append(_resize(p, k, w, h, Image))
                     oks.append(True)
                 except ValueError:
                     outs.append(None)

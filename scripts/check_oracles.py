@@ -36,11 +36,33 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
              .reset_index(drop=True)
 
 
+def dtype_class(dt) -> str:
+    """Coarse dtype class mirroring what the driver's value-hash sees:
+    an int64 26 and a float64 26.0 hash differently, so int vs float is
+    a real mismatch even when the values agree numerically."""
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith(("bool", "Bool")):
+        return "bool"
+    if "datetime" in s:
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(got.columns) != sorted(exp.columns):
         problems.append(f"columns {sorted(got.columns)} vs {sorted(exp.columns)}")
         return problems
+    for c in sorted(got.columns):
+        gc, ec = dtype_class(got[c].dtype), dtype_class(exp[c].dtype)
+        if gc != ec:
+            problems.append(
+                f"col {c}: dtype-class {gc} ({got[c].dtype}) vs "
+                f"{ec} ({exp[c].dtype}) — driver hash would mismatch")
     if len(got) != len(exp):
         problems.append(f"rowcount {len(got)} vs {len(exp)}")
     g, e = normalize(got), normalize(exp)

@@ -48,6 +48,57 @@ def test_capability_gap_fails_loudly(spark):
     assert "NotImplementedError" in str(exc.value)
 
 
+def test_auto_mode_falls_back_to_stub_without_pil(spark):
+    """fake='auto' on this PIL-less runtime must emit exactly the stub
+    features/payloads (same schema, same values) — the capability probe
+    degrades gracefully instead of failing."""
+    a = synth_assets(spark, 12)
+    stub = {r["asset_id"]: r["feat"]
+            for r in extract_features(a, feat_dim=4, fake=True).collect()}
+    auto = {r["asset_id"]: r["feat"]
+            for r in extract_features(a, feat_dim=4, fake="auto").collect()}
+    assert stub == auto
+    rs = {r["asset_id"]: bytes(r["payload_resized"])
+          for r in resize_assets(a, 64, 64, fake=True).collect()}
+    ra = {r["asset_id"]: bytes(r["payload_resized"])
+          for r in resize_assets(a, 64, 64, fake="auto").collect()}
+    assert rs == ra
+
+
+def test_real_image_path_with_shim_decoder():
+    """The real-PIL pixel path (decode -> grayscale -> resize ->
+    row-mean features), exercised with a shim Image module since the
+    runtime has no PIL: proves the code a PIL-bearing executor runs."""
+    import numpy as np
+    from pyrate_spark.operators.multimodal import real_image_features
+
+    class _ShimImg:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            w, h = wh
+            return _ShimImg(np.tile(np.arange(w, dtype=np.float32), (h, 1)))
+
+        def __array__(self, dtype=None, copy=None):
+            a = self.arr
+            return a.astype(dtype) if dtype is not None else a
+
+    class _ShimImage:
+        @staticmethod
+        def open(fp):
+            assert fp.read(5) == b"ASSET"
+            return _ShimImg(None)
+
+    feat = real_image_features(b"ASSET-7-42", 4, _ShimImage)
+    # resized 4x4 rows are arange(4): each row mean 1.5 -> 1.5/255
+    np.testing.assert_allclose(feat, np.full(4, 1.5 / 255.0), rtol=1e-6)
+
+
 def test_resize_geometry_aspect_preserving(spark):
     rows = (resize_assets(synth_assets(spark, 40), 256, 256)
             .select("asset_id", "out_width", "out_height")

@@ -157,3 +157,22 @@ def test_lookup_join_broadcasts(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert j.count() == 16
+
+
+def test_cohort_lowpass_fft_joinback_broadcasts(spark):
+    """T12 spectral path: the per-bucket lp frame (calendar-bounded,
+    tiny vs the row side) must come back via a broadcast join under
+    AQE, and the grouped-map side must keep its explicit repartition
+    (no AQE coalescing of the compute stage)."""
+    from pyrate_spark.operators.corrections import cohort_lowpass_fft
+    s = extract_series(generate_pages(spark, n_urls=60, epochs_per_url=24,
+                                      seed=11))
+    out = cohort_lowpass_fft(s, bucket_seconds=3600, cutoff_days=0.2,
+                             n_buckets=4)
+    out.count()  # materialize so AQE finalizes the join strategy
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    # the applyInPandas stage runs over the explicit _bucket repartition
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python
