@@ -60,10 +60,20 @@ def _want(name: str) -> bool:
 
 
 def main():
+    # capacity stamp BEFORE the JVM starts: effective parallel compute
+    # of this box right now, in single-core units (the same probe
+    # run_scaling.py gates on). Lets a reader separate engine
+    # regressions from box degradation — this shared microVM has
+    # drifted between ~31 and ~13 effective cores across rounds, a
+    # ±2.4x swing on identical code.
+    from scripts.run_scaling import cpu_capacity
+    cap = round(cpu_capacity(CPUS, rounds=2), 2)
+
     spark = get_session("pyrate-bench", parallelism=CPUS,
                         shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
-    meta: dict[str, float] = {}
+    meta: dict[str, float] = {"cpu_capacity": cap,
+                              "cpu_capacity_frac": round(cap / CPUS, 3)}
 
     # steady-state measurement: spin up the python worker pool first
     # (long-lived executors on a real cluster amortise this)
@@ -124,6 +134,19 @@ def main():
         meta["gorilla_points_per_sec"] = round(
             n_buckets / max(timings["gorilla_tier_encode"], 1e-9))
         meta["gorilla_bytes_per_point"] = round(r["b"] / max(r["p"], 1), 2)
+
+        # tier read-back: lane-parallel batch decode (new r4 stage)
+        if _want("gorilla_tier_decode"):
+            from pyrate_spark.operators.tiersink import decode_tier
+            enc_df = encode_tier(
+                hourly, "1 hour",
+                cfg=EngineConfig(salt_buckets=CPUS * 8)).persist()
+            enc_df.count()                  # fill cache, untimed
+            timed("gorilla_tier_decode",
+                  lambda: decode_tier(enc_df).count())
+            meta["gorilla_decode_points_per_sec"] = round(
+                n_buckets / max(timings["gorilla_tier_decode"], 1e-9))
+            enc_df.unpersist()
         hourly.unpersist()
 
     # ---- per-url inversion + linear rate (grouped-map kernels) ----

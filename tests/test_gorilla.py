@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
 
-from pyrate_spark.kernels.gorilla import encode_block, decode_block
+from pyrate_spark.kernels.gorilla import (_encode_block_scalar,
+                                          encode_block, decode_block)
 
 
 def roundtrip(ts, vals):
@@ -119,3 +120,54 @@ def test_vectorized_and_scalar_encoders_both_roundtrip():
         tot_v += len(encode_block(ts, vals))
         tot_s += len(_encode_block_scalar(ts, vals))
     assert tot_v <= tot_s * 1.05
+
+
+def test_decode_blocks_matches_scalar_decoder():
+    """Lane-parallel batch decode == per-block decode, bit-exact, over
+    mixed encoders / NaN runs / constants / 64-bit dod and xor edges,
+    including empty and single-point blocks."""
+    from pyrate_spark.kernels.gorilla import decode_blocks
+    rng = np.random.default_rng(17)
+    blocks, expect = [], []
+    for l in range(64):
+        n = int(rng.integers(0, 120))
+        ts = np.cumsum(rng.integers(1, 5000, size=max(n, 1)))[:n] \
+            .astype(np.int64)
+        if l % 5 == 0 and n > 3:
+            ts[3] += 10 ** 14            # 64-bit dod branch
+        v = np.round(rng.normal(0, 2, size=n), 2)
+        v[rng.random(n) < 0.15] = np.nan
+        if l % 4 == 0 and n:
+            v[:] = 7.5                   # all-zero xor stream
+        if l % 9 == 0 and n > 1:
+            v[1] = -1e308                # full-width xor payload
+        enc = encode_block if l % 2 else _encode_block_scalar
+        blocks.append(enc(ts, v))
+        expect.append((ts, v))
+    got = decode_blocks(blocks)
+    assert len(got) == len(blocks)
+    for (ts, v), (gt, gv), blk in zip(expect, got, blocks):
+        st, sv = decode_block(blk)
+        np.testing.assert_array_equal(gt, ts)
+        np.testing.assert_array_equal(gt, st)
+        assert np.array_equal(gv.view(np.uint64), v.view(np.uint64))
+        assert np.array_equal(gv.view(np.uint64), sv.view(np.uint64))
+
+
+def test_decode_blocks_truncation_fails_loudly():
+    from pyrate_spark.kernels.gorilla import decode_blocks
+    ts = np.cumsum(np.full(500, 37)).astype(np.int64)
+    v = np.sin(np.arange(500) * 0.3)
+    blk = encode_block(ts, v)
+    ok = decode_blocks([blk, blk])
+    assert np.array_equal(ok[0][0], ts) and np.array_equal(ok[1][1], v)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_blocks([blk, blk[: len(blk) // 2]])
+
+
+def test_decode_blocks_empty_inputs():
+    from pyrate_spark.kernels.gorilla import decode_blocks
+    assert decode_blocks([]) == []
+    out = decode_blocks([encode_block(np.array([], dtype=np.int64),
+                                      np.array([], dtype=np.float64))])
+    assert len(out) == 1 and len(out[0][0]) == 0
