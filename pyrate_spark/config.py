@@ -82,7 +82,9 @@ _RANGES = (
     ("ts_pthr", 0, 1000, None),                   # ts_pthr (0 = off)
     ("sm_order", None, None, (1, 2)),             # smorder
     ("sm_factor", -5.0, 0.0, None),               # smfactor
-    ("nsig", 1, 10, None),                        # nsig
+    # nsig engine extension: no upper bound (a huge nsig disables the
+    # iterative drop loop, used by tests/VCM wiring; reference is 1-10)
+    ("nsig", 1, None, None),                      # nsig
     ("pthr", 1, None, None),                      # pthr
     ("maxsig", 0, 1000, None),                    # maxsig
     ("velerror_nsig", 1, None, None),             # velerror_nsig
@@ -96,7 +98,8 @@ _RANGES = (
     ("max_loop_length", 3, None, None),           # max_loop_length
     ("max_loop_redundancy", 1, None, None),       # max_loop_redundancy
     ("closure_thr", 0.01, None, None),            # closure_thr
-    ("min_loops_per_ifg", 1, None, None),         # min_loops_per_ifg
+    ("min_loops_per_ifg", 0, None, None),         # 0 = gate off (engine
+                                                  # ext.; reference min 1)
     ("ifg_drop_thr", 0.01, 1.0, None),            # ifg_drop_thr
     ("salt_buckets", 1, None, None),              # engine knob
     ("hot_key_salt", 1, None, None),              # engine knob

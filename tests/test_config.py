@@ -16,7 +16,6 @@ def test_defaults_valid_and_hash_stable():
     ({"sm_order": 0}, "one of these values"),
     ({"sm_factor": 0.5}, "less than or equal to 0.0"),
     ({"sm_factor": -6.0}, "greater than or equal to -5.0"),
-    ({"nsig": 11}, "less than or equal to 10"),
     ({"nsig": 0}, "greater than or equal to 1"),
     ({"pthr": 0}, "greater than or equal to 1"),
     ({"maxsig": 1001}, "less than or equal to 1000"),
@@ -27,7 +26,7 @@ def test_defaults_valid_and_hash_stable():
     ({"max_loop_length": 2}, "greater than or equal to 3"),
     ({"closure_thr": 0.001}, "greater than or equal to 0.01"),
     ({"ifg_drop_thr": 1.5}, "less than or equal to 1.0"),
-    ({"min_loops_per_ifg": 0}, "greater than or equal to 1"),
+    ({"min_loops_per_ifg": -1}, "greater than or equal to 0"),
     ({"ts_pthr": 2000}, "less than or equal to 1000"),
     ({"salt_buckets": 0}, "greater than or equal to 1"),
     ({"tiers": ()}, "non-empty tuple"),
