@@ -319,10 +319,39 @@ def decode_blocks(blocks):
     per-lane cursor bounds are validated so truncated blocks still
     fail loudly. Worth it from a handful of lanes up (the tier decode
     path feeds hundreds of url blocks per Arrow batch).
+
+    The outputs are padded (lanes x longest-block) arrays, so one hot
+    url among thousands of small blocks would explode both memory and
+    wasted step-work; lanes are therefore chunked into size-homogeneous
+    groups (waste factor <= 4x, cell budget per chunk) and decoded
+    group-by-group — skew costs nothing beyond its own points.
     """
     nlanes = len(blocks)
     if nlanes == 0:
         return []
+    heads = [struct.unpack_from(">I", b, 0)[0] for b in blocks]
+    n_all = np.array(heads, dtype=np.int64)
+    order = np.argsort(-n_all, kind="stable")
+    out_all = [None] * nlanes
+    MAX_CELLS = 32 * 1024 * 1024        # 512 MB of padded output per chunk
+    i = 0
+    while i < nlanes:
+        m0 = max(int(n_all[order[i]]), 1)
+        j = i + 1
+        while j < nlanes and (n_all[order[j]] * 4 >= m0 or j - i < 64) \
+                and (j - i + 1) * m0 <= MAX_CELLS:
+            j += 1
+        idx = order[i:j]
+        sub = _decode_lane_group([blocks[k] for k in idx])
+        for k, r in zip(idx, sub):
+            out_all[k] = r
+        i = j
+    return out_all
+
+
+def _decode_lane_group(blocks):
+    """One size-homogeneous lane group (see decode_blocks)."""
+    nlanes = len(blocks)
     heads = [struct.unpack_from(">I", b, 0)[0] for b in blocks]
     n = np.array(heads, dtype=np.int64)
     max_n = int(n.max(initial=0))

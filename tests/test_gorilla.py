@@ -171,3 +171,25 @@ def test_decode_blocks_empty_inputs():
     out = decode_blocks([encode_block(np.array([], dtype=np.int64),
                                       np.array([], dtype=np.float64))])
     assert len(out) == 1 and len(out[0][0]) == 0
+
+
+def test_decode_blocks_skewed_sizes():
+    """Hot-url skew: one huge block among many tiny ones must not
+    inflate the padded output (lanes are grouped by size); results
+    stay bit-exact and in input order."""
+    from pyrate_spark.kernels.gorilla import decode_blocks
+    rng = np.random.default_rng(23)
+    sizes = [5000] + [int(rng.integers(0, 30)) for _ in range(150)] + [0]
+    blocks, expect = [], []
+    for i, n in enumerate(sizes):
+        ts = np.cumsum(rng.integers(1, 900, size=max(n, 1)))[:n] \
+            .astype(np.int64)
+        v = np.round(rng.normal(0, 1, size=n), 3)
+        enc = encode_block if i % 2 else _encode_block_scalar
+        blocks.append(enc(ts, v))
+        expect.append((ts, v))
+    got = decode_blocks(blocks)
+    for (ts, v), (gt, gv) in zip(expect, got):
+        np.testing.assert_array_equal(ts, gt)
+        assert np.array_equal(v.view(np.uint64) if len(v) else v,
+                              gv.view(np.uint64) if len(gv) else gv)
