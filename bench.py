@@ -161,8 +161,10 @@ def main():
                                 max_pairs_per_epoch=2).count())
 
     def inversion():
-        ts = timeseries_per_url(pairs, cfg, use_mst=False)
-        lr = linear_rate_per_url(ts, cfg)
+        # fused pairs->rates (one grouped-map stage; bit-exact vs the
+        # two-stage chain — tests/test_fused_rates.py)
+        from pyrate_spark.operators.grouped import linear_rate_from_pairs
+        lr = linear_rate_from_pairs(pairs, cfg, use_mst=False)
         return lr.count()
 
     meta["inverted_urls"] = timed("pages_inversion", inversion)

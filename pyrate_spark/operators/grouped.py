@@ -213,6 +213,29 @@ def linear_rate_per_url(tscuml_df: DataFrame, cfg: EngineConfig = DEFAULT,
             .groupBy("_bucket").applyInPandas(fn, LR_SCHEMA))
 
 
+def linear_rate_from_pairs(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
+                           use_mst: bool = True,
+                           n_buckets: Optional[int] = None,
+                           detect_hot: bool = True,
+                           hot_keys: Optional[tuple] = None) -> DataFrame:
+    """Fused pairs -> linear rates: timeseries_per_url +
+    linear_rate_per_url in ONE grouped-map stage. Same output,
+    bit-exact (tests/test_fused_rates.py), but the per-epoch
+    intermediate (≈ epochs/pairs x smaller than the output of the
+    first stage) never leaves the python worker — one exchange and one
+    Arrow round trip instead of two of each. Use when only the rates
+    are needed; keep the two-stage form when the time series itself is
+    a product."""
+    from pyrate_spark.operators.udf_kernels import make_timeseries_rates_fn
+    fn = make_timeseries_rates_fn(cfg.ts_method, cfg.ts_pthr,
+                                  cfg.sm_order, cfg.sm_factor, use_mst,
+                                  getattr(cfg, "vcm_mode", "identity"),
+                                  float(cfg.velerror_nsig))
+    return (_bucketed(pairs, "url", n_buckets or cfg.salt_buckets,
+                      detect_hot, hot_keys)
+            .groupBy("_bucket").applyInPandas(fn, LR_SCHEMA))
+
+
 def temporal_highpass_per_url(series: DataFrame,
                               cfg: EngineConfig = DEFAULT,
                               value_col: str = "value",

@@ -159,6 +159,74 @@ def make_timeseries_fn(method: int, pthr: int, smorder: int,
     return fn
 
 
+def make_timeseries_rates_fn(method: int, pthr: int, smorder: int,
+                             smfactor: float, use_mst: bool,
+                             vcm_mode: str, err_scale: float):
+    """Fused pairs -> linear rates: the time-series inversion and the
+    cumulative-series regression in ONE grouped-map pass, so the
+    ~50x-larger per-epoch intermediate never crosses the Arrow/shuffle
+    boundary (pipeline fusion of timeseries_per_url +
+    linear_rate_per_url; reference runs them as separate steps,
+    timeseries.py:111-157 then 292-379).
+
+    Bit-exactness contract (tests/test_fused_rates.py): the inversion
+    loop mirrors make_timeseries_fn body-for-body (kept duplicated, not
+    refactored, so the oracle-gated two-stage path stays untouched),
+    and the cumulative series is quantized to float32 before the
+    regression exactly as the TS_SCHEMA stage boundary would."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
+        mv_all = _maxvar_array(pdf)
+        urls, ys, ts_axes = [], [], []
+        for url, idx in group_slices(pdf):
+            idx = _sorted_key_rows(first_all, second_all, idx)
+            fs, ss = first_all[idx], second_all[idx]
+            phase, weight = phase_all[idx], weight_all[idx]
+            dates, spans, ifirst, isecond = epochs_from_pairs(fs, ss)
+            if len(dates) < 2:
+                continue
+            if use_mst:
+                sel = mst_select_pixel(phase, fs.tolist(), ss.tolist(),
+                                       weight.tolist())
+                _, is_tree, _ = mst_stats(fs.tolist(), ss.tolist(),
+                                          weight.tolist())
+                interp = 0 if is_tree else 1
+            else:
+                sel = ~np.isnan(phase)
+                interp = 0
+            vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond,
+                             mv_all[idx] if mv_all is not None else None)
+            try:
+                _, tsincr, tscuml = time_series_pixel(
+                    phase, ifirst, isecond, spans, method=method,
+                    pthresh=pthr, smorder=smorder, smfactor_log10=smfactor,
+                    vcmt=vcmt, mst_sel=sel, interp=interp)
+            except np.linalg.LinAlgError:
+                nv = len(dates) - 1
+                tscuml = np.full(nv, np.nan, dtype=np.float32)
+            urls.append(url)
+            # float32 round-trip == the TS_SCHEMA stage boundary
+            ys.append(np.concatenate(([0.0], tscuml))
+                      .astype(np.float32).astype(np.float64))
+            ts_axes.append(dates.astype(np.float64))
+        if not urls:
+            return pd.DataFrame(columns=["url", "rate", "intercept",
+                                         "rsquared", "error", "samples"])
+        width = max(len(t) for t in ts_axes)
+        n = len(urls)
+        T = np.zeros((n, width))
+        Y = np.full((n, width), np.nan)
+        for i, (t, y) in enumerate(zip(ts_axes, ys)):
+            T[i, :len(t)] = (t - t[0]) / SECONDS_PER_YEAR
+            Y[i, :len(y)] = y
+        s, i_, r2, se, ns = linregress_batch(T, Y)
+        return pd.DataFrame({
+            "url": urls, "rate": s, "intercept": i_, "rsquared": r2,
+            "error": se * err_scale, "samples": ns})
+    return fn
+
+
 def make_stack_fn(nsig: float, pthr: int, nsig_scale: float,
                   use_mst: bool, vcm_mode: str):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
