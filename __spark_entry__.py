@@ -990,6 +990,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     i / F.lit(127.0)), 4).alias("b"))
     q["quicklook_classmap"] = q_quicklook_classmap
 
+    def q_fused_rates(spark, sf):
+        """Fused pairs->rates operator (one grouped-map; r4), gated the
+        way the ANN recall gates are: the query executes BOTH the fused
+        and the two-stage (in-window-gated) chains and emits a per-url
+        bitwise-equality verdict; the oracle is the all-true url table.
+        (A value-level SQL twin is out of reach here: the kernel's
+        float32 cumulative series carries ~1e-7 solver noise that an
+        exact integer oracle can't reproduce — the two stages' VALUES
+        are gated in-window by timeseries_chain / linear_rate_kernel,
+        and fusion bit-exactness is additionally pytest-asserted in
+        tests/test_fused_rates.py.) Spark equality treats NaN == NaN
+        as true, so all-NaN urls compare equal too."""
+        from pyrate_spark.operators.grouped import linear_rate_from_pairs
+        s = _events(spark, sf, nulls=False, floor_value=True)
+        p = sequential_pairs(s)
+        cfg = EngineConfig(ts_method=2, ts_pthr=0, velerror_nsig=1,
+                           salt_buckets=16)
+        two = linear_rate_per_url(
+            timeseries_per_url(p, cfg, use_mst=False), cfg)
+        fus = linear_rate_from_pairs(p, cfg, use_mst=False)
+        cols = ["rate", "intercept", "rsquared", "error", "samples"]
+        f = fus.select("url", *[F.col(c).alias(f"f_{c}") for c in cols])
+        t = two.select("url", *[F.col(c).alias(f"t_{c}") for c in cols])
+        ok = F.lit(True)
+        for c in cols:
+            # null-safe: degenerate urls carry NULL on BOTH paths
+            ok = ok & F.col(f"f_{c}").eqNullSafe(F.col(f"t_{c}"))
+        return (f.join(t, "url", "full")
+                .select("url", ok.alias("fused_ok")))
+    q["fused_rates"] = q_fused_rates
+
     # The driver's correctness gate runs the FIRST 50 dict entries only.
     # Every operator's PRIMARY gate must sit inside that window; the
     # tail holds redundant exact-baseline variants whose operators are
@@ -1026,11 +1057,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   quicklook_classmap — (new in r4) S9 colour-relief class maths;
     #                     the PNG/KML emission is pytest-gated with a
     #                     golden hash (tests/test_quicklook.py)
+    #   fused_rates     — (new in r4) the fused pairs->rates operator;
+    #                     its two stages are gated in-window, and
+    #                     fusion bit-exactness is also pytest-asserted
+    #                     (tests/test_fused_rates.py)
     tail = ["frame_sample", "nn_downsample",
             "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
             "linear_rate_sql", "rollup_weekly", "refpixel_argmin",
-            "quicklook_classmap"]
+            "quicklook_classmap", "fused_rates"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1395,6 +1430,20 @@ def oracle_sql() -> dict[str, str]:
     """
     o["linear_rate_sql"] = f"{_lr_sel} FROM ({_lr})"
     o["linear_rate_kernel"] = f"{_lr_sel} FROM ({_lr})"
+
+    # fused pairs->rates on the chain network: tscuml == value - first
+    # (integer-valued, exact through the float32 stage boundary). The
+    # kernel keeps the reference's zero-velocity -> NaN rule
+    # (timeseries.py:149-157), and cumsum propagates that NaN, so the
+    # regression sees only the prefix BEFORE the first zero increment —
+    # the oracle cuts each url's series at that epoch.
+    # fused pairs->rates: equality-verdict gate (see q_fused_rates) —
+    # the oracle is the all-true table over urls with >= 2 snapshots
+    # (the set both chains produce rows for)
+    o["fused_rates"] = f"""
+        SELECT url, true AS fused_ok
+        FROM ({ev_chain}) GROUP BY url HAVING count(*) >= 2
+    """
 
     o["stack_rate_noiter"] = f"""
         WITH s AS (
