@@ -103,13 +103,24 @@ def main():
     meta["pages_rows"] = n_rows
 
     def rollup_cascade():
+        # per-tier split (BASELINE metric: "rows/sec per tier"):
+        # each tier reads the one above, so its rows/sec denominator
+        # is its own input row count
+        t0 = time.perf_counter()
         h = tier_rollup(series, "1 hour", thresh=0.5).persist()
         hc = h.count()
+        t1 = time.perf_counter()
         d = cascade_rollup(h, "1 day").persist()
         dc = d.count()
+        t2 = time.perf_counter()
         w = cascade_rollup(d, "1 week")
         wc = w.count()
+        t3 = time.perf_counter()
         meta["tier_buckets"] = hc + dc + wc
+        meta["tier_rows_per_sec"] = {
+            "hourly_from_raw": round(n_rows / max(t1 - t0, 1e-9)),
+            "daily_from_hourly": round(hc / max(t2 - t1, 1e-9)),
+            "weekly_from_daily": round(dc / max(t3 - t2, 1e-9))}
         h.unpersist()
         d.unpersist()
         return wc

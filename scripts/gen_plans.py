@@ -69,6 +69,16 @@ add("Per-url inversion (grouped-map kernel)",
                        EngineConfig(salt_buckets=64), use_mst=False,
                        detect_hot=False))
 
+from pyrate_spark.operators.grouped import linear_rate_from_pairs
+add("Fused pairs -> linear rates (r4 pipeline fusion)",
+    "Both inversion stages in ONE FlatMapGroupsInPandas: the per-epoch "
+    "intermediate (the two-stage chain's largest shuffle) never appears "
+    "in the plan — one salt, one user repartition, one Python stage. "
+    "Bit-exact vs the two-stage chain (tests/test_fused_rates.py).",
+    linear_rate_from_pairs(network_pairs(series, 2, 3),
+                           EngineConfig(salt_buckets=64), use_mst=False,
+                           detect_hot=False))
+
 add("Gap-filled grid (T17)",
     "sequence()+explode materialises the grid JVM-side; grid and tier "
     "co-shuffle on url once and the LOCF window reuses that partitioning "
