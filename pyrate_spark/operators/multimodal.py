@@ -45,9 +45,17 @@ def real_image_features(payload: bytes, feat_dim: int, Image) -> np.ndarray:
 
 def stub_features(payload: bytes, feat_dim: int) -> np.ndarray:
     """Deterministic sha256-derived stand-in feature vector (the
-    runtime-capability stub; exact real-decoder schema/shape)."""
-    h = hashlib.sha256(payload).digest()
-    raw = np.frombuffer(h[: feat_dim * 4], dtype=np.uint32)
+    runtime-capability stub; exact real-decoder schema/shape). Counter-
+    chained digests extend to ANY feat_dim — a 32-byte digest covers
+    only 8 uint32 lanes, and silently truncating would make stub and
+    real workers emit different dimensionality on the same job."""
+    need = feat_dim * 4
+    h = hashlib.sha256(payload).digest()   # block 0: the oracle-replayed
+    counter = 1                            # derivation, unchanged
+    while len(h) < need:
+        h += hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    raw = np.frombuffer(h[:need], dtype=np.uint32)
     return raw.astype(np.float32) / np.float32(2 ** 32)
 
 ASSET_SCHEMA = ("asset_id long, kind string, payload binary, "
@@ -85,6 +93,8 @@ def extract_features(assets: DataFrame, feat_dim: int = 8,
                   capability is missing (audio/video always — libav is
                   out of every targeted runtime).
     """
+    if fake not in (True, False, "auto"):
+        raise ValueError(f"fake must be True, False or 'auto', got {fake!r}")
 
     def _decode(payload: bytes, kind: str, Image) -> np.ndarray:
         if payload is None or len(payload) == 0:
@@ -138,14 +148,15 @@ RESIZE_SCHEMA = ("asset_id long, kind string, out_width int, "
 
 
 def resize_assets(assets: DataFrame, max_w: int = 256, max_h: int = 256,
-                  fake: bool = True) -> DataFrame:
+                  fake: bool | str = True) -> DataFrame:
     """Aspect-preserving fit-in-box resize. The TARGET GEOMETRY is pure
     column algebra (scale = min(max_w/w, max_h/h, 1), floor, min 1px —
     SQL-verifiable); the pixel work runs in mapInPandas with the same
-    stub contract as extract_features: ``fake=True`` emits a
-    deterministic sha256-of-(payload, geometry) stand-in payload with
-    the real schema/batch shape, a real decoder drops in by replacing
-    ``_resize`` only."""
+    fake=True/False/"auto" contract as ``extract_features`` ("auto" =
+    real PIL resize when the worker has PIL, sha256 stand-in payload
+    otherwise, same schema either way)."""
+    if fake not in (True, False, "auto"):
+        raise ValueError(f"fake must be True, False or 'auto', got {fake!r}")
     scale = F.least(F.lit(float(max_w)) / F.col("width"),
                     F.lit(float(max_h)) / F.col("height"),
                     F.lit(1.0))

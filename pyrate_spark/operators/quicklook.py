@@ -175,6 +175,13 @@ def quicklook_sink(grid: DataFrame, out_dir: str, output_type: str,
     if rows:
         ys = np.array([r["y"] for r in rows])
         xs = np.array([r["x"] for r in rows])
+        # fail loudly instead of IndexError mid-render / silent
+        # negative-index wraparound to the opposite PNG edge
+        if ys.min() < 0 or xs.min() < 0 or ys.max() >= h or xs.max() >= w:
+            raise ValueError(
+                f"grid coords out of raster bounds: y in "
+                f"[{ys.min()}, {ys.max()}], x in [{xs.min()}, {xs.max()}] "
+                f"vs height={h}, width={w}")
         cl = np.array([-1 if r["cls"] is None else r["cls"] for r in rows])
         ok = cl >= 0
         img[ys[ok], xs[ok]] = np.round(rgba[cl[ok]]).astype(np.uint8)

@@ -52,6 +52,11 @@ def test_auto_mode_falls_back_to_stub_without_pil(spark):
     """fake='auto' on this PIL-less runtime must emit exactly the stub
     features/payloads (same schema, same values) — the capability probe
     degrades gracefully instead of failing."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL installed: auto mode takes the real path here")
+    except ImportError:
+        pass
     a = synth_assets(spark, 12)
     stub = {r["asset_id"]: r["feat"]
             for r in extract_features(a, feat_dim=4, fake=True).collect()}
