@@ -1021,6 +1021,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("url", ok.alias("fused_ok")))
     q["fused_rates"] = q_fused_rates
 
+    def q_streaming_cascade_daily(spark, sf):
+        """Streaming continuous-aggregate cascade (hourly tier table
+        -> daily), the streaming twin of rollup_daily_cascade with the
+        same weighted math — flushed with the same two-sentinel
+        protocol as streaming_rollup_hourly (single-file source =
+        provably single first micro-batch) and gated against the SAME
+        batch-cascade oracle."""
+        import datetime
+        import tempfile
+        from pyrate_spark.streaming.tiers import streaming_cascade_rollup
+        tmp = tempfile.mkdtemp(prefix="pyrate_cascade_gate_")
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        ddl = ("url string, bucket_start timestamp, value_avg double, "
+               "null_fraction double, n_obs long")
+        h = tier_rollup(_events(spark, sf), "1 hour", thresh=0.99)
+        h.coalesce(1).write.mode("overwrite").parquet(src)
+        mx = h.agg(F.max("bucket_start")).first()[0]
+
+        def one_pass():
+            stream = spark.readStream.schema(ddl).parquet(src)
+            job = (streaming_cascade_rollup(stream, "1 day", thresh=0.5,
+                                            watermark="0 seconds")
+                   .writeStream.format("parquet").option("path", out)
+                   .option("checkpointLocation", ckpt)
+                   .outputMode("append")
+                   .trigger(availableNow=True).start())
+            job.awaitTermination(300)
+
+        one_pass()
+        for days in (40, 80):
+            flush = spark.createDataFrame(
+                [("__flush__", mx + datetime.timedelta(days=days),
+                  None, 0.0, 1)], ddl)
+            flush.write.mode("append").parquet(src)
+            one_pass()
+        d = (spark.read.parquet(out)
+             .where(F.col("url") != "__flush__"))
+        return d.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.round(F.col("value_avg").cast("float")
+                                .cast("double"), 3).alias("value_avg"),
+                        F.round("null_fraction", 6).alias("null_fraction"),
+                        F.col("n_obs").cast("long").alias("n_obs"))
+    q["streaming_cascade_daily"] = q_streaming_cascade_daily
+
     # The driver's correctness gate runs the FIRST 50 dict entries only.
     # The window holds the primary gate of every CORE operator; the
     # tail holds (a) redundant exact-baseline variants whose operators
@@ -1064,11 +1108,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     its two stages are gated in-window, and
     #                     fusion bit-exactness is also pytest-asserted
     #                     (tests/test_fused_rates.py)
+    #   streaming_cascade_daily — (new in r4) streaming twin of the
+    #                     in-window rollup_daily_cascade (same batch
+    #                     oracle), sentinel-flush protocol as
+    #                     streaming_rollup_hourly
     tail = ["frame_sample", "nn_downsample",
             "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
             "linear_rate_sql", "rollup_weekly", "refpixel_argmin",
-            "quicklook_classmap", "fused_rates"]
+            "quicklook_classmap", "fused_rates",
+            "streaming_cascade_daily"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1241,6 +1290,8 @@ def oracle_sql() -> dict[str, str]:
     # stateful streaming twins replay the SAME batch oracles
     o["streaming_gapfill_locf"] = o["gapfill_locf"]
     o["streaming_cumsum"] = o["cumulative_hourly"]
+    # streaming continuous-aggregate cascade == the batch cascade
+    o["streaming_cascade_daily"] = o["rollup_daily_cascade"]
     # persistence round-trip: checkpointed store == direct rollup
     o["checkpoint_roundtrip"] = o["rollup_hourly"]
 

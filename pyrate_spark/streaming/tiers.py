@@ -65,6 +65,38 @@ def streaming_series_rollup(series: DataFrame, tier: str = "1 hour",
         "n_obs")
 
 
+def streaming_cascade_rollup(prev_tier_stream: DataFrame,
+                             tier: str = "1 day", thresh: float = 0.5,
+                             watermark: str = "0 seconds") -> DataFrame:
+    """Continuous aggregate tier N-1 -> tier N (the streaming twin of
+    operators.rollup.cascade_rollup, same weighted-mean math so the
+    cascade equals a direct rollup of raw): reads the PREVIOUS tier's
+    table as a stream — e.g. the parquet sink streaming_series_rollup
+    appends to — and maintains the coarser tier incrementally, never
+    touching raw data. Append mode + watermark finalise a parent
+    bucket once all its child buckets have passed the frontier."""
+    win = F.window("bucket_start", tier)
+    n_valid = F.col("n_obs") * (1.0 - F.col("null_fraction"))
+    agg = (prev_tier_stream
+           .withWatermark("bucket_start", watermark)
+           .groupBy("url", win.alias("w"))
+           .agg((F.sum(F.col("value_avg") * n_valid)
+                 / F.sum(F.when(F.col("value_avg").isNotNull(), n_valid)
+                          .otherwise(0.0))).alias("_avg"),
+                (F.sum(F.col("null_fraction") * F.col("n_obs"))
+                 / F.sum("n_obs")).alias("null_fraction"),
+                F.sum("n_obs").alias("n_obs")))
+    keep = (F.col("null_fraction") < F.lit(thresh)) | \
+           ((F.col("null_fraction") == 0.0) & (F.lit(thresh) == 0.0))
+    return agg.select(
+        "url",
+        F.col("w.start").alias("bucket_start"),
+        F.when(keep, F.col("_avg")).otherwise(F.lit(None))
+        .alias("value_avg"),
+        "null_fraction",
+        "n_obs")
+
+
 def run_tier_maintenance(pages_stream: DataFrame, out_path: str,
                          checkpoint_path: str, tier: str = "1 hour",
                          thresh: float = 0.5, watermark: str = "2 hours"):

@@ -92,3 +92,27 @@ def test_simhash_band_pigeonhole(fp, flip_bits):
     bands_a = [(fp >> (15 * k)) & 0x7FFF for k in range(4)]
     bands_b = [(other >> (15 * k)) & 0x7FFF for k in range(4)]
     assert any(a == b for a, b in zip(bands_a, bands_b))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.lists(st.tuples(st.integers(0, 2 ** 40),
+                       st.floats(allow_nan=True, allow_infinity=True,
+                                 width=64)),
+             min_size=0, max_size=40),
+    min_size=0, max_size=12))
+def test_decode_blocks_property(batches):
+    """Property: lane-parallel batch decode == per-block scalar decode
+    for arbitrary block batches (mixed sizes, NaN/inf, empties)."""
+    from pyrate_spark.kernels.gorilla import decode_blocks
+    blocks = []
+    for pairs in batches:
+        ts = np.sort(np.array([p[0] for p in pairs], dtype=np.int64))
+        vals = np.array([p[1] for p in pairs], dtype=np.float64)
+        blocks.append(encode_block(ts, vals))
+    got = decode_blocks(blocks)
+    assert len(got) == len(blocks)
+    for blk, (gt, gv) in zip(blocks, got):
+        st_, sv = decode_block(blk)
+        np.testing.assert_array_equal(gt, st_)
+        assert np.array_equal(gv.view(np.uint64), sv.view(np.uint64))

@@ -229,3 +229,63 @@ def test_foreachbatch_corrections_equals_batch(spark, tmp_path):
             .orderBy("warc_ts").select("value").toPandas()["value"]
             .to_numpy())
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_streaming_cascade_matches_batch(spark, tmp_path):
+    """Continuous-aggregate cascade (hourly tier stream -> daily) ==
+    the batch cascade_rollup, including across a micro-batch split of
+    the hourly source (one file per batch, chronological)."""
+    import numpy as np
+    from pyrate_spark.operators.rollup import cascade_rollup
+    from pyrate_spark.streaming.tiers import streaming_cascade_rollup
+
+    rows = []
+    for u in ("a", "b"):
+        for d in range(3):
+            for h in (0, 5, 11, 23):
+                rows.append((u, BASE + dt.timedelta(days=d, hours=h),
+                             float(d * 24 + h), 0.25 if h == 5 else 0.0,
+                             4))
+    ddl = ("url string, bucket_start timestamp, value_avg double, "
+           "null_fraction double, n_obs long")
+    hourly = spark.createDataFrame(rows, ddl)
+    expect = (cascade_rollup(hourly, "1 day", thresh=0.5)
+              .orderBy("url", "bucket_start").toPandas())
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # two chronological files -> two availableNow passes; then sentinel
+    # flush passes drive every real bucket over the append frontier
+    cut = BASE + dt.timedelta(days=1)
+    hourly.where(F.col("bucket_start") < cut).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(ddl).parquet(src)
+        q = (streaming_cascade_rollup(stream, "1 day", thresh=0.5,
+                                      watermark="0 seconds")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    one_pass()
+    hourly.where(F.col("bucket_start") >= cut).coalesce(1) \
+        .write.mode("append").parquet(src)
+    one_pass()
+    for days in (30, 60):
+        spark.createDataFrame(
+            [("__flush__", BASE + dt.timedelta(days=days), None, 0.0, 1)],
+            ddl).write.mode("append").parquet(src)
+        one_pass()
+
+    got = (spark.read.parquet(out).where(F.col("url") != "__flush__")
+           .orderBy("url", "bucket_start").toPandas())
+    assert len(got) == len(expect)
+    for c in ("url", "bucket_start", "n_obs"):
+        assert list(got[c]) == list(expect[c]), c
+    np.testing.assert_allclose(got["value_avg"], expect["value_avg"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(got["null_fraction"],
+                               expect["null_fraction"], rtol=1e-12)
