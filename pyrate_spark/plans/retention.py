@@ -47,6 +47,65 @@ def surviving(df: DataFrame, keep_days: int | None, now_ts: dt.datetime,
                     >= F.lit(f"{cut} 00:00:00").cast("timestamp"))
 
 
+def compact_day_store(spark: SparkSession, path: str,
+                      max_files_per_day: int = 4,
+                      target_bytes: int = 128 * 1024 * 1024,
+                      min_age_days: int | None = None,
+                      now_ts: dt.datetime | None = None) -> dict:
+    """Small-file compaction for a day-partitioned store — the ops
+    counterpart of streaming append: every availableNow maintenance
+    pass appends files, and at 10^12 rows a day partition accumulating
+    hundreds of tiny parquet files destroys scan planning (footer
+    reads, task churn). For each day partition with more than
+    ``max_files_per_day`` data files, rewrite it to
+    ceil(bytes / target_bytes) files and swap atomically (write to a
+    sibling tmp dir, delete old, rename — the Iceberg rewrite-datafiles
+    equivalent). ``min_age_days`` skips recent partitions that are
+    still receiving appends (compact behind the write frontier only).
+    Partition listing is metadata; only over-fragmented days are read.
+
+    Returns {"compacted": {day: (files_before, files_after)},
+    "skipped": [days]}.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = hpath(path)
+    fs = base.getFileSystem(conf)
+    frontier = None
+    if min_age_days is not None:
+        now_ts = now_ts or dt.datetime.utcnow()
+        frontier = policy_cutoff_day(now_ts, min_age_days)
+    compacted, skipped = {}, []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not name.startswith(f"{DAY_COL}="):
+            continue
+        day = name.split("=", 1)[1]
+        if frontier is not None and day >= frontier:
+            skipped.append(day)
+            continue
+        files = [f for f in fs.listStatus(st.getPath())
+                 if f.getPath().getName().endswith(".parquet")]
+        if len(files) <= max_files_per_day:
+            skipped.append(day)
+            continue
+        nbytes = sum(f.getLen() for f in files)
+        n_out = max(1, -(-nbytes // target_bytes))
+        part_dir = f"{path}/{name}"
+        tmp_dir = f"{path}/.compact_tmp_{name}"
+        (spark.read.parquet(part_dir).repartition(n_out)
+         .write.mode("overwrite").parquet(tmp_dir))
+        fs.delete(st.getPath(), True)
+        ok = fs.rename(hpath(tmp_dir), st.getPath())
+        if not ok:
+            raise IOError(f"compaction rename failed for {part_dir}")
+        n_after = sum(1 for f in fs.listStatus(st.getPath())
+                      if f.getPath().getName().endswith(".parquet"))
+        compacted[day] = (len(files), n_after)
+    return {"compacted": compacted, "skipped": sorted(skipped)}
+
+
 def expire_day_store(spark: SparkSession, path: str, keep_days: int,
                      now_ts: dt.datetime) -> dict:
     """Physically expire a day-partitioned store: list the day

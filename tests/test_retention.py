@@ -56,3 +56,41 @@ def test_surviving_is_prunable_predicate(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan
     assert surviving(df, None, now).count() == df.count()
+
+
+def test_compact_day_store_merges_small_files(spark, tmp_path):
+    """Streaming-append fragmentation: a day partition with many tiny
+    files is rewritten to few files atomically; data identical; recent
+    days behind min_age stay untouched."""
+    from pyrate_spark.plans.retention import compact_day_store
+    path = str(tmp_path / "store")
+    base = dt.datetime(2024, 3, 1)
+    # 8 separate appends -> >= 8 files in each day partition
+    for k in range(8):
+        rows = [("u%d" % i, base + dt.timedelta(days=d, hours=k),
+                 float(k * 100 + i))
+                for i in range(5) for d in range(3)]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, value double")
+        write_raw_store(df, path, mode="append")
+    before = (spark.read.parquet(path)
+              .orderBy("url", "warc_ts").toPandas())
+
+    res = compact_day_store(spark, path, max_files_per_day=4,
+                            min_age_days=1,
+                            now_ts=base + dt.timedelta(days=2))
+    # day 2 is inside min_age (the write frontier) -> skipped
+    assert "2024-03-03" in res["skipped"]
+    assert set(res["compacted"]) == {"2024-03-01", "2024-03-02"}
+    for day, (nb, na) in res["compacted"].items():
+        assert nb >= 8 and na < nb and na >= 1
+    after = (spark.read.parquet(path)
+             .orderBy("url", "warc_ts").toPandas())
+    assert before.equals(after)
+    # with the frontier lifted, the previously-skipped day compacts too
+    res2 = compact_day_store(spark, path, max_files_per_day=4)
+    assert set(res2["compacted"]) == {"2024-03-03"}
+    # and a further run is a no-op: everything already under threshold
+    res3 = compact_day_store(spark, path, max_files_per_day=4)
+    assert res3["compacted"] == {}
+    assert spark.read.parquet(path).count() == len(before)
