@@ -167,9 +167,20 @@ def timeseries_per_url(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     fn = make_timeseries_fn(cfg.ts_method, cfg.ts_pthr, cfg.sm_order,
                             cfg.sm_factor, use_mst,
                             getattr(cfg, "vcm_mode", "identity"))
-    return (_bucketed(pairs, "url", n_buckets or cfg.salt_buckets,
-                      detect_hot, hot_keys)
+    return (_bucketed(_ts_input(pairs), "url",
+                      n_buckets or cfg.salt_buckets, detect_hot, hot_keys)
             .groupBy("_bucket").applyInPandas(fn, TS_SCHEMA))
+
+
+def _ts_input(pairs: DataFrame) -> DataFrame:
+    """Project the inversion kernels' input columns before the shuffle:
+    applyInPandas ships EVERY column of its input through the exchange
+    and the Arrow boundary (Catalyst cannot prune into a python UDF),
+    so unused pair columns (time_span — the kernels recompute spans
+    from epochs) are dead weight at 10^12 rows."""
+    keep = [c for c in ("url", "ts_first", "ts_second", "delta_value",
+                        "nan_fraction", "maxvar") if c in pairs.columns]
+    return pairs.select(*keep)
 
 
 def stack_rate_per_url(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
@@ -231,8 +242,8 @@ def linear_rate_from_pairs(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                                   cfg.sm_order, cfg.sm_factor, use_mst,
                                   getattr(cfg, "vcm_mode", "identity"),
                                   float(cfg.velerror_nsig))
-    return (_bucketed(pairs, "url", n_buckets or cfg.salt_buckets,
-                      detect_hot, hot_keys)
+    return (_bucketed(_ts_input(pairs), "url",
+                      n_buckets or cfg.salt_buckets, detect_hot, hot_keys)
             .groupBy("_bucket").applyInPandas(fn, LR_SCHEMA))
 
 
