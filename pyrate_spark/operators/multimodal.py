@@ -5,12 +5,16 @@ The decode step is CAPABILITY-DETECTED (r4): each mode accepts
 ``fake=True`` (deterministic sha256-derived stand-in, the default —
 what the oracles gate), ``fake=False`` (require a real decoder; raises
 NotImplementedError where the runtime lacks it), or ``fake="auto"``
-(worker-side try-import of PIL: real pixel decode for images when PIL
-is present, stub otherwise — same schema either way). Audio/video
-decode needs libav and stays stub/NotImplementedError in every runtime
-this repo targets. The Spark-side plumbing (schema, partitioning, UDF
-signature, Arrow batch flow) is identical across all three modes and
-tested end-to-end.
+(real pixel decode for images when PIL is present, stub otherwise —
+same schema either way). ``"auto"`` is resolved ONCE on the DRIVER
+(r5, per advisor): the concrete decision ships to every executor in
+the serialized task closure, so one job emits one decode path
+everywhere — a worker that cannot honor a real-decode decision raises
+NotImplementedError (loud capability mismatch) rather than silently
+stubbing, and task retries are deterministic. Audio/video decode needs
+libav and stays stub/NotImplementedError in every runtime this repo
+targets. The Spark-side plumbing (schema, partitioning, UDF signature,
+Arrow batch flow) is identical across all modes and tested end-to-end.
 """
 
 from __future__ import annotations
@@ -24,14 +28,27 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _pil_image():
-    """Worker-side capability probe: the PIL Image module, or None.
-    Called inside the UDF so detection happens on the EXECUTOR's
-    runtime, not the driver's."""
+    """PIL capability probe: the PIL Image module, or None. For
+    ``fake="auto"`` this runs ONCE on the driver (the decision then
+    ships in the task closure); inside the UDF it only re-imports the
+    module when the already-made decision requires it."""
     try:
         from PIL import Image
         return Image
     except ImportError:
         return None
+
+
+def _resolve_auto(fake):
+    """Driver-side resolution of ``fake="auto"`` to a concrete decode
+    decision: ``"real-images"`` (PIL importable here — images decode
+    for real, audio/video stub) or ``True`` (all-stub). Resolving on
+    the driver keeps one job on one path across a heterogeneous
+    cluster; a worker missing PIL under a "real-images" decision fails
+    loudly in the UDF instead of downgrading its rows."""
+    if fake == "auto":
+        return "real-images" if _pil_image() is not None else True
+    return fake
 
 
 def real_image_features(payload: bytes, feat_dim: int, Image) -> np.ndarray:
@@ -87,21 +104,25 @@ def extract_features(assets: DataFrame, feat_dim: int = 8,
     """Decode + feature-extract via mapInPandas.
 
     fake=True  -> sha256 stand-in (deterministic, oracle-gated);
-    fake="auto"-> real PIL pixel decode for images when the WORKER
-                  runtime has PIL, stub otherwise (same schema);
+    fake="auto"-> resolved ONCE on the driver: real PIL pixel decode
+                  for images when the driver runtime has PIL, all-stub
+                  otherwise (same schema); the decision ships in the
+                  task closure, so a worker lacking PIL under a
+                  real-decode decision raises instead of mixing paths;
     fake=False -> require real decode; NotImplementedError if the
                   capability is missing (audio/video always — libav is
                   out of every targeted runtime).
     """
     if fake not in (True, False, "auto"):
         raise ValueError(f"fake must be True, False or 'auto', got {fake!r}")
+    fake = _resolve_auto(fake)
 
     def _decode(payload: bytes, kind: str, Image) -> np.ndarray:
         if payload is None or len(payload) == 0:
             # the stand-in for a real decoder's corrupt-input error
             raise ValueError("undecodable payload")
         use_real = (fake is False
-                    or (fake == "auto" and Image is not None
+                    or (fake == "real-images"
                         and kind.startswith("image/")))
         if use_real:
             if not kind.startswith("image/") or Image is None:
@@ -153,10 +174,11 @@ def resize_assets(assets: DataFrame, max_w: int = 256, max_h: int = 256,
     column algebra (scale = min(max_w/w, max_h/h, 1), floor, min 1px —
     SQL-verifiable); the pixel work runs in mapInPandas with the same
     fake=True/False/"auto" contract as ``extract_features`` ("auto" =
-    real PIL resize when the worker has PIL, sha256 stand-in payload
-    otherwise, same schema either way)."""
+    driver-resolved: real PIL resize when the driver has PIL, sha256
+    stand-in payload otherwise, same schema either way)."""
     if fake not in (True, False, "auto"):
         raise ValueError(f"fake must be True, False or 'auto', got {fake!r}")
+    fake = _resolve_auto(fake)
     scale = F.least(F.lit(float(max_w)) / F.col("width"),
                     F.lit(float(max_h)) / F.col("height"),
                     F.lit(1.0))
@@ -172,7 +194,7 @@ def resize_assets(assets: DataFrame, max_w: int = 256, max_h: int = 256,
         if payload is None or len(payload) == 0:
             raise ValueError("undecodable payload")
         use_real = (fake is False
-                    or (fake == "auto" and Image is not None
+                    or (fake == "real-images"
                         and kind.startswith("image/")))
         if use_real:
             if not kind.startswith("image/") or Image is None:

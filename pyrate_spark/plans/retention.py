@@ -47,10 +47,19 @@ def surviving(df: DataFrame, keep_days: int | None, now_ts: dt.datetime,
                     >= F.lit(f"{cut} 00:00:00").cast("timestamp"))
 
 
+def _rewrite_partition(spark: SparkSession, part_dir: str, tmp_dir: str,
+                       n_out: int) -> None:
+    """Rewrite one partition's files into ``n_out`` files at a sibling
+    tmp path (module-level so tests can wrap it to simulate a racing
+    append landing mid-rewrite)."""
+    (spark.read.parquet(part_dir).repartition(n_out)
+     .write.mode("overwrite").parquet(tmp_dir))
+
+
 def compact_day_store(spark: SparkSession, path: str,
                       max_files_per_day: int = 4,
                       target_bytes: int = 128 * 1024 * 1024,
-                      min_age_days: int | None = None,
+                      min_age_days: int | None = 1,
                       now_ts: dt.datetime | None = None) -> dict:
     """Small-file compaction for a day-partitioned store — the ops
     counterpart of streaming append: every availableNow maintenance
@@ -58,14 +67,25 @@ def compact_day_store(spark: SparkSession, path: str,
     hundreds of tiny parquet files destroys scan planning (footer
     reads, task churn). For each day partition with more than
     ``max_files_per_day`` data files, rewrite it to
-    ceil(bytes / target_bytes) files and swap atomically (write to a
-    sibling tmp dir, delete old, rename — the Iceberg rewrite-datafiles
-    equivalent). ``min_age_days`` skips recent partitions that are
-    still receiving appends (compact behind the write frontier only).
-    Partition listing is metadata; only over-fragmented days are read.
+    ceil(bytes / target_bytes) files and swap via rename-first
+    ordering (write to a sibling tmp dir, rename the live partition
+    aside, rename tmp in, then delete the old copy — the Iceberg
+    rewrite-datafiles equivalent; there is never a moment where the
+    partition path is absent, and a crash mid-swap leaves either the
+    old or the new copy live, plus at worst a dot-prefixed leftover
+    that Spark readers ignore). ``min_age_days`` (default 1: compact
+    only partitions at least one whole day behind ``now_ts``) keeps
+    the rewrite behind the write frontier so concurrent streaming
+    appends land on days this pass never touches; pass ``None``
+    explicitly to compact everything — in that case, and as a belt
+    against misconfigured frontiers, the partition is re-listed after
+    the rewrite and the swap is ABORTED (tmp deleted, old kept) if
+    files appeared since the read snapshot, so a racing append is
+    never silently dropped. Partition listing is metadata; only
+    over-fragmented days are read.
 
     Returns {"compacted": {day: (files_before, files_after)},
-    "skipped": [days]}.
+    "skipped": [days], "aborted": [days]}.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -76,7 +96,12 @@ def compact_day_store(spark: SparkSession, path: str,
     if min_age_days is not None:
         now_ts = now_ts or dt.datetime.utcnow()
         frontier = policy_cutoff_day(now_ts, min_age_days)
-    compacted, skipped = {}, []
+
+    def _data_files(p):
+        return [f for f in fs.listStatus(p)
+                if f.getPath().getName().endswith(".parquet")]
+
+    compacted, skipped, aborted = {}, [], []
     for st in fs.listStatus(base):
         name = st.getPath().getName()
         if not name.startswith(f"{DAY_COL}="):
@@ -85,25 +110,42 @@ def compact_day_store(spark: SparkSession, path: str,
         if frontier is not None and day >= frontier:
             skipped.append(day)
             continue
-        files = [f for f in fs.listStatus(st.getPath())
-                 if f.getPath().getName().endswith(".parquet")]
+        files = _data_files(st.getPath())
         if len(files) <= max_files_per_day:
             skipped.append(day)
             continue
+        snapshot = {f.getPath().getName() for f in files}
         nbytes = sum(f.getLen() for f in files)
         n_out = max(1, -(-nbytes // target_bytes))
         part_dir = f"{path}/{name}"
         tmp_dir = f"{path}/.compact_tmp_{name}"
-        (spark.read.parquet(part_dir).repartition(n_out)
-         .write.mode("overwrite").parquet(tmp_dir))
-        fs.delete(st.getPath(), True)
-        ok = fs.rename(hpath(tmp_dir), st.getPath())
-        if not ok:
-            raise IOError(f"compaction rename failed for {part_dir}")
-        n_after = sum(1 for f in fs.listStatus(st.getPath())
-                      if f.getPath().getName().endswith(".parquet"))
+        old_dir = f"{path}/.compact_old_{name}"
+        _rewrite_partition(spark, part_dir, tmp_dir, n_out)
+        # A file appended between the read snapshot and the swap would
+        # be lost by the rewrite — abort this day rather than drop it.
+        now_names = {f.getPath().getName()
+                     for f in _data_files(st.getPath())}
+        if now_names - snapshot:
+            fs.delete(hpath(tmp_dir), True)
+            aborted.append(day)
+            continue
+        # Rename-first swap: the live partition path is replaced, never
+        # absent. Crash after step 1 → readers miss one partition until
+        # the next pass re-runs; crash after step 2 → fully swapped
+        # with a stale .compact_old_* to clean up; Spark readers ignore
+        # dot-prefixed dirs in every intermediate state.
+        fs.delete(hpath(old_dir), True)
+        if not fs.rename(st.getPath(), hpath(old_dir)):
+            raise IOError(f"compaction rename-aside failed for {part_dir}")
+        if not fs.rename(hpath(tmp_dir), st.getPath()):
+            # Roll the old copy back so the partition is not left absent.
+            fs.rename(hpath(old_dir), st.getPath())
+            raise IOError(f"compaction rename-in failed for {part_dir}")
+        fs.delete(hpath(old_dir), True)
+        n_after = len(_data_files(st.getPath()))
         compacted[day] = (len(files), n_after)
-    return {"compacted": compacted, "skipped": sorted(skipped)}
+    return {"compacted": compacted, "skipped": sorted(skipped),
+            "aborted": sorted(aborted)}
 
 
 def expire_day_store(spark: SparkSession, path: str, keep_days: int,

@@ -104,6 +104,69 @@ def test_real_image_path_with_shim_decoder():
     np.testing.assert_allclose(feat, np.full(4, 1.5 / 255.0), rtol=1e-6)
 
 
+def test_auto_resolution_is_driver_side(spark, monkeypatch):
+    """fake='auto' must resolve ONCE on the driver (r5 advisor fix):
+    pretend the driver has PIL via a shim probe — the PIL-less workers
+    must then fail LOUDLY with the capability error rather than
+    silently downgrading their rows to stubs, so one job can never mix
+    decode paths across a heterogeneous cluster or task retry."""
+    import pyrate_spark.operators.multimodal as mm
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL installed: workers would genuinely decode")
+    except ImportError:
+        pass
+    monkeypatch.setattr(mm, "_pil_image", lambda: object())
+    assert mm._resolve_auto("auto") == "real-images"
+    a = synth_assets(spark, 6).where("kind = 'image/png'")
+    rows = mm.extract_features(a, feat_dim=4, fake="auto").collect()
+    # Driver said "real": every image row must have gone down the real
+    # path (here: failed on the fake decoder -> flagged), never been
+    # silently served the stub. Under the old worker-side probe these
+    # rows would come back decode_ok=True with stub features.
+    assert rows and all(not r["decode_ok"] and r["feat"] is None
+                        for r in rows)
+    # audio/video under the same decision still stub cleanly
+    av = mm.extract_features(
+        synth_assets(spark, 6).where("kind != 'image/png'"),
+        feat_dim=4, fake="auto").collect()
+    assert av and all(r["decode_ok"] for r in av)
+
+
+def _pil_missing():
+    try:
+        import PIL  # noqa: F401
+        return False
+    except ImportError:
+        return True
+
+
+@pytest.mark.real_pil
+@pytest.mark.skipif(_pil_missing(), reason=(
+    "PIL not in this runtime — real pixel path covered by the shim "
+    "decoder test; this marker test exercises it end-to-end the day "
+    "the runtime gains PIL"))
+def test_real_pil_end_to_end(spark):
+    """fake=False with genuine PIL: encode a real PNG, decode + feature
+    + resize through the full Spark path, check the known pixel means."""
+    import io
+    import numpy as np
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("L", (16, 12), color=128).save(buf, format="PNG")
+    a = spark.createDataFrame(
+        [(1, "image/png", bytearray(buf.getvalue()), 16, 12, 0)],
+        "asset_id long, kind string, payload binary, width int, "
+        "height int, duration_ms int")
+    row = extract_features(a, feat_dim=4, fake=False).collect()[0]
+    assert row["decode_ok"] and len(row["feat"]) == 4
+    np.testing.assert_allclose(row["feat"], np.full(4, 128 / 255.0),
+                               atol=2e-3)
+    rz = resize_assets(a, 8, 8, fake=False).collect()[0]
+    assert rz["decode_ok"] and (rz["out_width"], rz["out_height"]) == (8, 6)
+    assert Image.open(io.BytesIO(rz["payload_resized"])).size == (8, 6)
+
+
 def test_resize_geometry_aspect_preserving(spark):
     rows = (resize_assets(synth_assets(spark, 40), 256, 256)
             .select("asset_id", "out_width", "out_height")

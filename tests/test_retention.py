@@ -87,10 +87,81 @@ def test_compact_day_store_merges_small_files(spark, tmp_path):
     after = (spark.read.parquet(path)
              .orderBy("url", "warc_ts").toPandas())
     assert before.equals(after)
-    # with the frontier lifted, the previously-skipped day compacts too
+    # with the default frontier (1 day behind wall-clock now), the
+    # previously-skipped 2024 day is well behind it and compacts too
     res2 = compact_day_store(spark, path, max_files_per_day=4)
     assert set(res2["compacted"]) == {"2024-03-03"}
     # and a further run is a no-op: everything already under threshold
     res3 = compact_day_store(spark, path, max_files_per_day=4)
     assert res3["compacted"] == {}
     assert spark.read.parquet(path).count() == len(before)
+
+
+def test_compact_day_store_aborts_on_racing_append(spark, tmp_path,
+                                                   monkeypatch):
+    """A file appended between the read snapshot and the swap must not
+    be lost: the pass re-lists the partition after the rewrite and
+    aborts that day's swap (tmp removed, every row — including the
+    racer — still readable)."""
+    import pyrate_spark.plans.retention as ret
+    path = str(tmp_path / "store")
+    base = dt.datetime(2024, 3, 1)
+    for k in range(8):
+        df = spark.createDataFrame(
+            [("u%d" % i, base + dt.timedelta(hours=k), float(k * 10 + i))
+             for i in range(4)],
+            "url string, warc_ts timestamp, value double")
+        write_raw_store(df, path, mode="append")
+
+    racer = spark.createDataFrame(
+        [("racer", base + dt.timedelta(hours=23), 999.0)],
+        "url string, warc_ts timestamp, value double")
+    real_rewrite = ret._rewrite_partition
+
+    def rewrite_then_race(spark_, part_dir, tmp_dir, n_out):
+        real_rewrite(spark_, part_dir, tmp_dir, n_out)
+        write_raw_store(racer, path, mode="append")
+
+    monkeypatch.setattr(ret, "_rewrite_partition", rewrite_then_race)
+    res = ret.compact_day_store(spark, path, max_files_per_day=4,
+                                min_age_days=None)
+    assert res["aborted"] == ["2024-03-01"]
+    assert res["compacted"] == {}
+    after = spark.read.parquet(path)
+    assert after.count() == 8 * 4 + 1
+    assert after.where("url = 'racer'").count() == 1
+    # no stray tmp dirs visible to readers, and a follow-up clean pass
+    # (no racer this time) compacts normally
+    monkeypatch.setattr(ret, "_rewrite_partition", real_rewrite)
+    res2 = ret.compact_day_store(spark, path, max_files_per_day=4,
+                                 min_age_days=None)
+    assert "2024-03-01" in res2["compacted"]
+    assert spark.read.parquet(path).count() == 8 * 4 + 1
+
+
+def test_compact_day_store_crash_leftover_recovery(spark, tmp_path):
+    """A crash between rename-in and delete-old leaves a dot-prefixed
+    .compact_old_* dir: Spark readers ignore it, and the next
+    maintenance pass clears it and proceeds."""
+    import pathlib
+    import shutil
+    from pyrate_spark.plans.retention import compact_day_store
+    path = str(tmp_path / "store")
+    base = dt.datetime(2024, 3, 1)
+    for k in range(8):
+        df = spark.createDataFrame(
+            [("u%d" % i, base + dt.timedelta(hours=k), float(k * 10 + i))
+             for i in range(4)],
+            "url string, warc_ts timestamp, value double")
+        write_raw_store(df, path, mode="append")
+    # simulate the post-crash state: stale old-copy next to the live dir
+    live = next(p for p in pathlib.Path(path).iterdir()
+                if p.name.startswith("_day="))
+    shutil.copytree(live, pathlib.Path(path) / f".compact_old_{live.name}")
+    assert spark.read.parquet(path).count() == 8 * 4  # dot-dir ignored
+    res = compact_day_store(spark, path, max_files_per_day=4,
+                            min_age_days=None)
+    assert live.name.split("=", 1)[1] in res["compacted"]
+    assert spark.read.parquet(path).count() == 8 * 4
+    assert not any(p.name.startswith(".compact_")
+                   for p in pathlib.Path(path).iterdir())
