@@ -976,6 +976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .alias("rate")))
         m = per.agg(F.greatest(F.abs(F.min("rate")),
                                F.abs(F.max("rate"))).alias("m")).first()["m"]
+        # degenerate inputs (all-NULL rates -> m None; all-zero rates
+        # -> m 0): class_index_col's span<=0 branch emits class 0 for
+        # valid rates, and the oracle's mm-guard CASE mirrors it
+        m = float(m) if m is not None else 0.0
         cls = class_index_col("rate", -m, m).alias("cls")
         c = per.select("url", F.round("rate", 5).alias("rate"), cls)
         i = F.col("cls").cast("double")
@@ -2210,8 +2214,9 @@ def oracle_sql() -> dict[str, str]:
               FROM per),
         c AS (SELECT url, rate,
                      CASE WHEN rate IS NULL THEN NULL
+                          WHEN mm IS NULL OR mm = 0 THEN 0
                           ELSE least(254, greatest(0, CAST(floor(
-                               (rate + mm) / (mm - (-mm)) * 254.0 + 0.5)
+                               (rate + mm) / (mm + mm) * 254.0 + 0.5)
                                AS INT))) END AS cls
               FROM per, m)
         SELECT url, round(rate, 5) AS rate, cls,

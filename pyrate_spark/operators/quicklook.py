@@ -199,14 +199,54 @@ def quicklook_sink(grid: DataFrame, out_dir: str, output_type: str,
 
 
 def rate_grid(per_key: DataFrame, key_col: str = "url",
-              value_col: str = "rate", width: int = 16) -> DataFrame:
+              value_col: str = "rate", width: int = 16,
+              max_pixels: int = 1 << 20,
+              partitions: int | None = None) -> DataFrame:
     """Lay per-key scalars onto a deterministic (y, x) preview grid by
     sorted key order (row-major) — the graft's analog of the
-    reference's tile-assembled raster."""
+    reference's tile-assembled raster.
+
+    The global rank is computed WITHOUT a single-partition sort (r5):
+    range-repartition on the key, per-partition-sorted row numbers,
+    plus a broadcast join of per-partition row-count offsets — the
+    distributed zipWithIndex-over-sorted pattern. At 10^8 keys the old
+    ``row_number().over(Window.orderBy(key))`` shuffled every row to
+    ONE task; here each task ranks only its own key range, and the
+    offset side is one tiny driver aggregate (#partitions rows).
+    Determinism: the offsets are derived from the same deterministic
+    range partitioning that the returned plan re-executes, and
+    ``quicklook_sink`` fails loudly on any out-of-bounds coordinate.
+
+    ``max_pixels`` bounds the raster explicitly — the function (not
+    caller discipline) is what keeps ``quicklook_sink``'s driver
+    collect preview-sized; larger inputs must be aggregated/downsampled
+    first (rollup.nn_downsample / tier_rollup are the intended
+    reducers)."""
     from pyspark.sql import Window
-    rn = F.row_number().over(Window.orderBy(key_col)) - 1
-    return per_key.select(
-        F.col(key_col),
-        ((rn / width).cast("int")).alias("y"),
-        (rn % width).alias("x"),
-        F.col(value_col).cast("double").alias("value"))
+    spark = per_key.sparkSession
+    n_parts = partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (per_key.repartitionByRange(n_parts, F.col(key_col))
+              .withColumn("_pid", F.spark_partition_id()))
+    counts = {r["_pid"]: r["count"]
+              for r in ranged.groupBy("_pid").count().collect()}
+    total = sum(counts.values())
+    if total > max_pixels:
+        raise ValueError(
+            f"rate_grid input has {total} keys > max_pixels={max_pixels}; "
+            "downsample/aggregate before rendering a preview raster")
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    local_rn = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(key_col)) - 1
+    rn = F.col("_offset") + local_rn
+    return (ranged.join(F.broadcast(off_df), "_pid")
+            .select(F.col(key_col),
+                    (rn / width).cast("int").alias("y"),
+                    F.pmod(rn, F.lit(width)).cast("int").alias("x"),
+                    F.col(value_col).cast("double").alias("value")))

@@ -176,3 +176,27 @@ def test_cohort_lowpass_fft_joinback_broadcasts(spark):
     # the applyInPandas stage runs over the explicit _bucket repartition
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time python
+
+
+def test_rate_grid_no_single_partition_exchange(spark):
+    """r5: the quicklook preview layout must not funnel every per-key
+    rate through one task — the global rank comes from range
+    partitions + broadcast offsets, so the plan has no SinglePartition
+    exchange and the offset join broadcasts."""
+    from pyrate_spark.operators.quicklook import rate_grid
+    per = spark.range(500).select(
+        F.format_string("u%05d", F.col("id")).alias("url"),
+        (F.col("id") * 1.0).alias("rate"))
+    grid = rate_grid(per, width=16, partitions=8)
+    grid.count()  # let AQE finalize strategies
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    # and the layout is the same row-major-by-sorted-key contract
+    rows = {r["url"]: (r["y"], r["x"]) for r in grid.collect()}
+    assert rows["u00000"] == (0, 0)
+    assert rows["u00017"] == (1, 1)
+    assert rows["u00499"] == (31, 3)
+    # the preview contract is enforced by the function, not the caller
+    with pytest.raises(ValueError, match="max_pixels"):
+        rate_grid(per, width=16, max_pixels=100).count()
