@@ -1105,23 +1105,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # retention leg of the engine) moved INTO the window in place of
     # the two thin gates above, so the driver's hard signal covers
     # both BASELINE-level capabilities.
-    #   quicklook_classmap — (new in r4) S9 colour-relief class maths;
-    #                     the PNG/KML emission is pytest-gated with a
-    #                     golden hash (tests/test_quicklook.py)
-    #   fused_rates     — (new in r4) the fused pairs->rates operator;
-    #                     its two stages are gated in-window, and
-    #                     fusion bit-exactness is also pytest-asserted
-    #                     (tests/test_fused_rates.py)
-    #   streaming_cascade_daily — (new in r4) streaming twin of the
-    #                     in-window rollup_daily_cascade (same batch
-    #                     oracle), sentinel-flush protocol as
-    #                     streaming_rollup_hourly
+    # r5 swap (VERDICT r4 item 1): the three r4 additions move INTO
+    # the window — the driver's hard signal now gates the path
+    # bench.py actually ships (fused_rates = the headline inversion),
+    # the S9 colour maths (quicklook_classmap), and the streaming
+    # cascade (streaming_cascade_daily). Moved out in their place,
+    # each with an in-window sibling that executes its machinery:
+    #   multimodal_resize — (tail since r5) the mapInPandas decode
+    #                     plumbing is gated in-window by
+    #                     multimodal_features; the resize geometry is
+    #                     pure column algebra, pytest-gated
+    #                     (test_resize_geometry_aspect_preserving)
+    #   aux_tile_average — (tail since r5) A10 tile averaging; the
+    #                     same bperp tile-average path runs inside the
+    #                     in-window dem_error gate
+    #   closure_triangles — (tail since r5) G3/A12 loop enumeration;
+    #                     the in-window closure_fixpoint gate re-runs
+    #                     the triangle enumeration + signed sums every
+    #                     iteration (G6 wraps G3-G5), and loop order/
+    #                     signing stay pytest-gated vs the reference
     tail = ["frame_sample", "nn_downsample",
             "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
             "linear_rate_sql", "rollup_weekly", "refpixel_argmin",
-            "quicklook_classmap", "fused_rates",
-            "streaming_cascade_daily"]
+            "multimodal_resize", "aux_tile_average",
+            "closure_triangles"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
