@@ -130,6 +130,26 @@ def _pack_tokens(tok_vals, tok_widths) -> bytes:
     cum = np.cumsum(w_all)
     total = int(cum[-1])
     starts = cum - w_all                      # global bit start per token
+    out = _scatter_pack(v_all, w_all, starts, (total + 63) // 64)
+    nbytes = (total + 7) // 8
+    return out[:nbytes]
+
+
+def _scatter_pack(v_all, w_all, starts, nwords) -> bytes:
+    """Word-aligned OR-scatter core shared by ``_pack_tokens`` (one
+    contiguous bitstream) and ``encode_blocks`` (many word-aligned
+    block bitstreams): tokens (value, width ≤ 64) land at
+    caller-provided monotonic bit ``starts``; returns nwords * 8 bytes
+    of explicitly big-endian output (see _clz_ctz64 endianness note).
+    Total memory traffic ~16 bytes/token — the expand-every-bit
+    approach moves ~60x more and was fault-bound on this microVM."""
+    if nwords == 0:
+        return b""
+    keep = w_all > 0
+    if not keep.all():
+        v_all, w_all, starts = v_all[keep], w_all[keep], starts[keep]
+    if len(w_all) == 0:
+        return bytes(nwords * 8)
     # mask values to their width (write() semantics) via one LUT gather
     wu = w_all.astype(np.uint64)
     v = v_all & _WIDTH_MASK[w_all]
@@ -140,7 +160,6 @@ def _pack_tokens(tok_vals, tok_widths) -> bytes:
     sh_hi = np.where(fits, np.uint64(64) - end, np.uint64(0))
     sh_hi2 = np.where(fits, np.uint64(0), end - np.uint64(64))
     hi = np.where(fits, v << sh_hi, v >> sh_hi2)
-    nwords = (total + 63) // 64
     out = np.zeros(nwords, dtype=np.uint64)
     seg = np.concatenate(([0], np.flatnonzero(np.diff(word)) + 1))
     out[word[seg]] = np.bitwise_or.reduceat(hi, seg)
@@ -148,9 +167,7 @@ def _pack_tokens(tok_vals, tok_widths) -> bytes:
     if len(spill):
         sh_lo = np.uint64(128) - end[spill]   # in [1, 63]
         np.bitwise_or.at(out, word[spill] + 1, v[spill] << sh_lo)
-    nbytes = (total + 7) // 8
-    # explicit big-endian serialization (see _clz_ctz64 endianness note)
-    return out.astype(">u8").tobytes()[:nbytes]
+    return out.astype(">u8").tobytes()
 
 
 def encode_block(timestamps: np.ndarray, values: np.ndarray) -> bytes:
@@ -239,6 +256,205 @@ def encode_block(timestamps: np.ndarray, values: np.ndarray) -> bytes:
     tv = np.stack([slot_a_v, slot_b_v, slot_c_v, slot_d_v], 1).ravel()
     tw = np.stack([slot_a_w, slot_b_w, slot_c_w, slot_d_w], 1).ravel()
     return head + _pack_tokens(tv, tw)
+
+
+def encode_blocks(series) -> list:
+    """Lane-parallel batch encoder — the encode twin of
+    ``decode_blocks``: encode MANY (int64-seconds, float64-values)
+    series with a numpy op count independent of the number of blocks.
+    Per-series output is byte-identical to ``encode_block``
+    (asserted in tests/test_gorilla.py).
+
+    ``encode_block`` is fully vectorized WITHIN a block, but tier
+    blocks are small (tens of points per url), so per-block numpy call
+    overhead dominates when a grouped batch holds tens of thousands of
+    urls (~30 array ops x 25k blocks). Here all series are
+    concatenated flat; per-block state (header fields, the
+    block-static XOR window, the first-nonzero-XOR position) is
+    computed segment-wise with ``reduceat``, and every block's tokens
+    are packed into ONE bitstream in which each block starts at a
+    64-bit word boundary, then sliced back out per block. Unlike the
+    padded-lane decoder there is NO padding anywhere (flat layout), so
+    hot-url skew costs nothing beyond its own points."""
+    B = len(series)
+    if B == 0:
+        return []
+    counts = np.fromiter((len(t) for t, _ in series), dtype=np.int64,
+                         count=B)
+    if int(counts.sum()) == 0:
+        return [struct.pack(">I", 0)] * B
+    ts = np.concatenate([np.asarray(t, dtype=np.int64) for t, _ in series])
+    vals = np.concatenate([np.asarray(v, dtype=np.float64)
+                           for _, v in series])
+    return encode_blocks_flat(ts, vals, counts)
+
+
+CHUNK_POINTS = 1 << 17
+
+
+def encode_blocks_flat(ts: np.ndarray, vals: np.ndarray,
+                       counts: np.ndarray) -> list:
+    """``encode_blocks`` over already-concatenated arrays: ``counts``
+    gives consecutive block lengths (each block's points must be
+    time-sorted). This is the zero-copy entry the tier sink uses — one
+    lexsort of the whole Arrow batch replaces 25k per-url slices.
+
+    Work is chunked to ~CHUNK_POINTS points so every temporary stays a
+    few MB: this microVM's first-touch page faults make fresh
+    multi-10MB allocations pathologically slow (collapses to ~2k
+    pages/s under memory pressure), while few-MB temporaries recycle
+    heap pages across chunks. Chunk boundaries fall between blocks, so
+    output bytes are unaffected."""
+    counts = np.asarray(counts, dtype=np.int64)
+    if int(counts.sum()) > CHUNK_POINTS and len(counts) > 1:
+        bounds = np.searchsorted(np.cumsum(counts),
+                                 np.arange(CHUNK_POINTS,
+                                           int(counts.sum()),
+                                           CHUNK_POINTS), side="left") + 1
+        out = []
+        prev_b = prev_p = 0
+        pt_offs = np.concatenate(([0], np.cumsum(counts)))
+        for b in list(bounds) + [len(counts)]:
+            if b <= prev_b:
+                continue
+            p = int(pt_offs[b])
+            out.extend(_encode_blocks_core(ts[prev_p:p], vals[prev_p:p],
+                                           counts[prev_b:b]))
+            prev_b, prev_p = b, p
+        return out
+    return _encode_blocks_core(ts, vals, counts)
+
+
+def _encode_blocks_core(ts: np.ndarray, vals: np.ndarray,
+                        counts: np.ndarray) -> list:
+    B = len(counts)
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return [struct.pack(">I", 0)] * B
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    bits = vals.view(np.uint64)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+
+    # ---- headers: 28 bytes (n, t0, first delta, v0 bits) for n >= 1;
+    #      the n == 0 header is the first 4 bytes (n only)
+    start_idx = np.minimum(offs[:-1], total - 1)   # safe for n==0 blocks
+    t0 = np.where(counts > 0, ts[start_idx], 0)
+    second = np.minimum(offs[:-1] + 1, total - 1)
+    pdelta = np.where(counts > 1, ts[second] - t0, 0)
+    v0 = np.where(counts > 0, bits[start_idx], np.uint64(0))
+    hdr = np.empty((B, 28), dtype=np.uint8)
+    hdr[:, 0:4] = counts.astype(">u4").view(np.uint8).reshape(B, 4)
+    hdr[:, 4:12] = t0.astype(">i8").view(np.uint8).reshape(B, 8)
+    hdr[:, 12:20] = pdelta.astype(">i8").view(np.uint8).reshape(B, 8)
+    hdr[:, 20:28] = v0.astype(">u8").view(np.uint8).reshape(B, 8)
+    hbytes = hdr.tobytes()
+
+    # ---- encoded points: within-block position k >= 1, flat order
+    k_pos = np.arange(total) - np.repeat(offs[:-1], counts)
+    enc = np.flatnonzero(k_pos >= 1)
+    m_total = len(enc)
+    enc_counts = np.maximum(counts - 1, 0)
+    enc_offs = np.concatenate(([0], np.cumsum(enc_counts)))
+    if m_total == 0:
+        return [hbytes[28 * b:28 * b + (28 if counts[b] else 4)]
+                for b in range(B)]
+
+    d_full = np.empty(total, np.int64)
+    d_full[0] = 0
+    d_full[1:] = ts[1:] - ts[:-1]          # only k>=1 entries are used
+    xor_full = np.empty(total, np.uint64)
+    xor_full[0] = 0
+    xor_full[1:] = bits[1:] ^ bits[:-1]
+
+    # ---- timestamp slots (A: control+small payload, B: 64-bit payload)
+    k_enc = k_pos[enc]
+    has_dod = k_enc >= 2                   # k==1's delta is in the header
+    slot_a_v = np.zeros(m_total, np.uint64)
+    slot_a_w = np.zeros(m_total, np.int64)
+    slot_b_v = np.zeros(m_total, np.uint64)
+    slot_b_w = np.zeros(m_total, np.int64)
+    if has_dod.any():
+        p = enc[has_dod]
+        dod = d_full[p] - d_full[p - 1]
+        du = dod.astype(np.uint64)
+        c0 = dod == 0
+        c1 = (dod >= -64) & (dod <= 63) & ~c0
+        c2 = (dod >= -256) & (dod <= 255) & ~c0 & ~c1
+        c3 = (dod >= -2048) & (dod <= 2047) & ~(c0 | c1 | c2)
+        c4 = ~(c0 | c1 | c2 | c3)
+        slot_a_v[has_dod] = np.select(
+            [c0, c1, c2, c3],
+            [np.uint64(0),
+             (np.uint64(0b10) << np.uint64(7)) | (du & np.uint64(0x7F)),
+             (np.uint64(0b110) << np.uint64(9)) | (du & np.uint64(0x1FF)),
+             (np.uint64(0b1110) << np.uint64(12)) | (du & np.uint64(0xFFF))],
+            default=np.uint64(0b1111))
+        slot_a_w[has_dod] = np.select([c0, c1, c2, c3], [1, 9, 12, 16],
+                                      default=4)
+        slot_b_v[has_dod] = np.where(c4, du, np.uint64(0))
+        slot_b_w[has_dod] = np.where(c4, 64, 0)
+
+    # ---- value slots: per-BLOCK static XOR window via segment minima
+    xors = xor_full[enc]
+    nz = xors != np.uint64(0)
+    lead, trail = _clz_ctz64(xors)         # zero xor -> lead = trail = 64
+    has_enc = enc_counts > 0
+    starts_enc = enc_offs[:-1][has_enc]    # distinct: each block adds >= 1
+    lzf = np.full(B, 64, np.int64)
+    tzf = np.full(B, 64, np.int64)
+    firstf = np.full(B, m_total, np.int64)
+    lzf[has_enc] = np.minimum.reduceat(np.where(nz, lead, 64), starts_enc)
+    tzf[has_enc] = np.minimum.reduceat(np.where(nz, trail, 64), starts_enc)
+    firstf[has_enc] = np.minimum.reduceat(
+        np.where(nz, np.arange(m_total), m_total), starts_enc)
+    nz_any_b = lzf < 64                    # all-zero-xor blocks: no window
+    lz_b = np.minimum(lzf, 31)             # 5-bit header field
+    mbits_b = np.where(nz_any_b, 64 - lz_b - tzf, 0)
+    blk_enc = np.repeat(np.arange(B), enc_counts)
+
+    slot_c_v = np.zeros(m_total, np.uint64)
+    slot_c_w = np.ones(m_total, np.int64)  # '0' for xor == 0
+    slot_d_v = np.zeros(m_total, np.uint64)
+    slot_d_w = np.zeros(m_total, np.int64)
+    slot_c_v[nz] = np.uint64(0b10)
+    slot_c_w[nz] = 2
+    first_pts = firstf[nz_any_b]           # one window header per block
+    slot_c_v[first_pts] = ((np.uint64(0b11) << np.uint64(11))
+                           | (lz_b[nz_any_b].astype(np.uint64)
+                              << np.uint64(6))
+                           | (mbits_b[nz_any_b] - 1).astype(np.uint64))
+    slot_c_w[first_pts] = 13
+    slot_d_v[nz] = xors[nz] >> tzf[blk_enc].astype(np.uint64)[nz]
+    slot_d_w[nz] = mbits_b[blk_enc][nz]
+
+    # ---- one pack for ALL blocks: each block's token region starts at
+    #      a fresh 64-bit word, so the per-block byte slice is exactly
+    #      what encode_block would have emitted
+    tv = np.stack([slot_a_v, slot_b_v, slot_c_v, slot_d_v], 1).ravel()
+    tw = np.stack([slot_a_w, slot_b_w, slot_c_w, slot_d_w], 1).ravel()
+    L_b = np.zeros(B, np.int64)
+    L_b[has_enc] = np.add.reduceat(tw, 4 * starts_enc)
+    word_start = np.concatenate(([0], np.cumsum((L_b + 63) // 64)))
+    contig = np.concatenate(([0], np.cumsum(L_b)))[:-1]
+    within = (np.cumsum(tw) - tw) - np.repeat(contig, 4 * enc_counts)
+    gstart = np.repeat(word_start[:-1] * 64, 4 * enc_counts) + within
+    packed = _scatter_pack(tv, tw, gstart, int(word_start[-1]))
+
+    ws8 = word_start * 8
+    tb = (L_b + 7) // 8
+    out = []
+    for b in range(B):
+        nb = counts[b]
+        if nb == 0:
+            out.append(hbytes[28 * b:28 * b + 4])
+        elif nb == 1:
+            out.append(hbytes[28 * b:28 * b + 28])
+        else:
+            out.append(hbytes[28 * b:28 * b + 28]
+                       + packed[ws8[b]:ws8[b] + tb[b]])
+    return out
 
 
 def _encode_block_scalar(timestamps: np.ndarray,

@@ -34,23 +34,38 @@ def encode_tier(tier_df: DataFrame, tier_name: str = "1 hour",
     from pyrate_spark.operators.grouped import _bucketed
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        from pyrate_spark.kernels.gorilla import encode_block
-        from pyrate_spark.operators.udf_kernels import group_slices, ts_seconds
+        from pyrate_spark.kernels.gorilla import encode_blocks_flat
+        from pyrate_spark.operators.udf_kernels import ts_seconds
+        # one lexsort by (url, ts) then ONE lane-parallel encode pass
+        # over the whole Arrow batch: per-url encode_block calls spent
+        # more time in numpy call overhead than in bit packing at
+        # tier-shaped block sizes (tens of points x tens of thousands
+        # of urls per bucket)
+        urls = pdf["url"].to_numpy()
         ts_all = ts_seconds(pdf[ts_col])
-        v_all = pdf[value_col].to_numpy(dtype=np.float64)
-        rows = []
-        for url, idx in group_slices(pdf):
-            order = np.argsort(ts_all[idx], kind="stable")
-            ts = ts_all[idx][order]
-            vals = v_all[idx][order]
-            blk = encode_block(ts, vals)
-            rows.append((url, tier_name, len(ts), int(len(ts) * 16),
-                         len(blk), bytearray(blk)))
-        return pd.DataFrame(rows, columns=["url", "tier", "n_points",
-                                           "bytes_raw", "bytes_encoded",
-                                           "block"])
+        order = np.lexsort((ts_all, urls))
+        urls_s = urls[order]
+        ts_s = ts_all[order]
+        v_s = pdf[value_col].to_numpy(dtype=np.float64)[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], urls_s[1:] != urls_s[:-1])))
+        counts = np.diff(np.concatenate((bounds, [len(urls_s)])))
+        blocks = encode_blocks_flat(ts_s, v_s, counts)
+        return pd.DataFrame({
+            "url": urls_s[bounds],
+            "tier": tier_name,
+            "n_points": counts.astype(np.int32),
+            "bytes_raw": counts * 16,
+            "bytes_encoded": np.fromiter((len(b) for b in blocks),
+                                         dtype=np.int64,
+                                         count=len(blocks)),
+            "block": [bytearray(b) for b in blocks]})
 
-    return (_bucketed(tier_df, "url", cfg.salt_buckets, detect_hot=False)
+    # applyInPandas ships EVERY input column through the shuffle and
+    # the Arrow channel — project down to the three the encoder reads
+    # before bucketing (same dead-column fix as the fused inversion)
+    slim = tier_df.select("url", ts_col, value_col)
+    return (_bucketed(slim, "url", cfg.salt_buckets, detect_hot=False)
             .groupBy("_bucket").applyInPandas(fn, ENC_SCHEMA))
 
 

@@ -193,3 +193,50 @@ def test_decode_blocks_skewed_sizes():
         np.testing.assert_array_equal(ts, gt)
         assert np.array_equal(v.view(np.uint64) if len(v) else v,
                               gv.view(np.uint64) if len(gv) else gv)
+
+
+def test_encode_blocks_matches_per_block_encoder():
+    """r5 lane-parallel batch encode == encode_block per series,
+    BYTE-identical, across the same edge matrix the decoder test uses
+    (empty/single/constant/NaN/64-bit dod + xor), with enough total
+    points to cross the CHUNK_POINTS internal boundary."""
+    from pyrate_spark.kernels.gorilla import CHUNK_POINTS, encode_blocks
+    rng = np.random.default_rng(23)
+    series = [(np.array([], np.int64), np.array([], np.float64)),
+              (np.array([7], np.int64), np.array([2.5])),
+              (np.array([7, 67], np.int64), np.array([2.5, 2.5]))]
+    while sum(len(t) for t, _ in series) < CHUNK_POINTS + 1000:
+        n = int(rng.integers(0, 800))
+        ts = np.cumsum(rng.integers(1, 5000, size=max(n, 1)))[:n] \
+            .astype(np.int64)
+        if len(series) % 5 == 0 and n > 3:
+            ts[3] += 10 ** 14            # 64-bit dod branch
+        v = np.round(rng.normal(0, 2, size=n), 2)
+        v[rng.random(n) < 0.15] = np.nan
+        if len(series) % 4 == 0 and n:
+            v[:] = 7.5                   # all-zero xor stream
+        if len(series) % 9 == 0 and n > 1:
+            v[1] = -1e308                # full-width xor payload
+        series.append((ts, v))
+    ref = [encode_block(t, v) for t, v in series]
+    got = encode_blocks(series)
+    assert ref == got
+    # and the batch output round-trips through the batch decoder
+    from pyrate_spark.kernels.gorilla import decode_blocks
+    for (ts, v), (gt, gv) in zip(series, decode_blocks(got)):
+        np.testing.assert_array_equal(gt, ts)
+        assert np.array_equal(gv.view(np.uint64), v.view(np.uint64))
+
+
+def test_encode_blocks_hot_key_skew():
+    """One 50k-point block among hundreds of tiny ones: flat layout
+    means no padding blowup; outputs stay byte-identical."""
+    from pyrate_spark.kernels.gorilla import encode_blocks
+    rng = np.random.default_rng(5)
+    series = [(np.arange(50_000, dtype=np.int64) * 60,
+               np.round(rng.normal(0, 1, 50_000), 3))]
+    for i in range(300):
+        n = int(rng.integers(1, 6))
+        series.append((np.arange(n, dtype=np.int64) * 3600 + i,
+                       np.round(rng.normal(0, 1, n), 2)))
+    assert encode_blocks(series) == [encode_block(t, v) for t, v in series]
