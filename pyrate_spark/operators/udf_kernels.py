@@ -93,6 +93,44 @@ def _sorted_key_rows(first_all, second_all, idx):
     return idx[sub]
 
 
+def _invert_key(first_all, second_all, phase_all, weight_all, mv_all,
+                idx, method, pthr, smorder, smfactor, use_mst, vcm_mode):
+    """Per-key inversion inner loop SHARED by ``make_timeseries_fn``
+    and the fused ``make_timeseries_rates_fn`` (r5: one body replaces
+    the r4 deliberate duplication, so the two paths cannot drift —
+    tests/test_fused_rates.py additionally pins fused == two-stage
+    bit-equality): deterministic sort, epoch build, optional per-key
+    MST selection (timeseries.py:49), VCM weighting, SVD/Laplacian
+    solve. Returns (dates, spans, tsincr, tscuml) — NaN series on
+    singular systems — or None when the key has < 2 epochs."""
+    idx = _sorted_key_rows(first_all, second_all, idx)
+    fs, ss = first_all[idx], second_all[idx]
+    phase, weight = phase_all[idx], weight_all[idx]
+    dates, spans, ifirst, isecond = epochs_from_pairs(fs, ss)
+    if len(dates) < 2:
+        return None
+    if use_mst:
+        sel = mst_select_pixel(phase, fs.tolist(), ss.tolist(),
+                               weight.tolist())
+        _, is_tree, _ = mst_stats(fs.tolist(), ss.tolist(),
+                                  weight.tolist())
+        interp = 0 if is_tree else 1   # timeseries.py:49
+    else:
+        sel = ~np.isnan(phase)
+        interp = 0
+    vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond,
+                     mv_all[idx] if mv_all is not None else None)
+    try:
+        _, tsincr, tscuml = time_series_pixel(
+            phase, ifirst, isecond, spans, method=method,
+            pthresh=pthr, smorder=smorder, smfactor_log10=smfactor,
+            vcmt=vcmt, mst_sel=sel, interp=interp)
+    except np.linalg.LinAlgError:
+        nv = len(dates) - 1
+        tsincr = tscuml = np.full(nv, np.nan, dtype=np.float32)
+    return dates, spans, tsincr, tscuml
+
+
 def make_timeseries_fn(method: int, pthr: int, smorder: int,
                        smfactor: float, use_mst: bool, vcm_mode: str):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -103,31 +141,12 @@ def make_timeseries_fn(method: int, pthr: int, smorder: int,
         first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
         mv_all = _maxvar_array(pdf)
         for url, idx in group_slices(pdf):
-            idx = _sorted_key_rows(first_all, second_all, idx)
-            fs, ss = first_all[idx], second_all[idx]
-            phase, weight = phase_all[idx], weight_all[idx]
-            dates, spans, ifirst, isecond = epochs_from_pairs(fs, ss)
-            if len(dates) < 2:
+            res = _invert_key(first_all, second_all, phase_all,
+                              weight_all, mv_all, idx, method, pthr,
+                              smorder, smfactor, use_mst, vcm_mode)
+            if res is None:
                 continue
-            if use_mst:
-                sel = mst_select_pixel(phase, fs.tolist(), ss.tolist(),
-                                       weight.tolist())
-                _, is_tree, _ = mst_stats(fs.tolist(), ss.tolist(),
-                                          weight.tolist())
-                interp = 0 if is_tree else 1   # timeseries.py:49
-            else:
-                sel = ~np.isnan(phase)
-                interp = 0
-            vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond,
-                             mv_all[idx] if mv_all is not None else None)
-            try:
-                _, tsincr, tscuml = time_series_pixel(
-                    phase, ifirst, isecond, spans, method=method,
-                    pthresh=pthr, smorder=smorder, smfactor_log10=smfactor,
-                    vcmt=vcmt, mst_sel=sel, interp=interp)
-            except np.linalg.LinAlgError:
-                nv = len(dates) - 1
-                tsincr = tscuml = np.full(nv, np.nan, dtype=np.float32)
+            dates, spans, tsincr, tscuml = res
             span_d = np.diff(spans).astype(np.float32)
             with np.errstate(divide="ignore", invalid="ignore"):
                 tsvel = np.where(span_d != 0, tsincr / span_d, np.nan)
@@ -170,9 +189,8 @@ def make_timeseries_rates_fn(method: int, pthr: int, smorder: int,
     timeseries.py:111-157 then 292-379).
 
     Bit-exactness contract (tests/test_fused_rates.py): the inversion
-    loop mirrors make_timeseries_fn body-for-body (kept duplicated, not
-    refactored, so the oracle-gated two-stage path stays untouched),
-    and the cumulative series is quantized to float32 before the
+    inner loop IS make_timeseries_fn's (shared ``_invert_key`` since
+    r5), and the cumulative series is quantized to float32 before the
     regression exactly as the TS_SCHEMA stage boundary would."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -180,31 +198,12 @@ def make_timeseries_rates_fn(method: int, pthr: int, smorder: int,
         mv_all = _maxvar_array(pdf)
         urls, ys, ts_axes = [], [], []
         for url, idx in group_slices(pdf):
-            idx = _sorted_key_rows(first_all, second_all, idx)
-            fs, ss = first_all[idx], second_all[idx]
-            phase, weight = phase_all[idx], weight_all[idx]
-            dates, spans, ifirst, isecond = epochs_from_pairs(fs, ss)
-            if len(dates) < 2:
+            res = _invert_key(first_all, second_all, phase_all,
+                              weight_all, mv_all, idx, method, pthr,
+                              smorder, smfactor, use_mst, vcm_mode)
+            if res is None:
                 continue
-            if use_mst:
-                sel = mst_select_pixel(phase, fs.tolist(), ss.tolist(),
-                                       weight.tolist())
-                _, is_tree, _ = mst_stats(fs.tolist(), ss.tolist(),
-                                          weight.tolist())
-                interp = 0 if is_tree else 1
-            else:
-                sel = ~np.isnan(phase)
-                interp = 0
-            vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond,
-                             mv_all[idx] if mv_all is not None else None)
-            try:
-                _, tsincr, tscuml = time_series_pixel(
-                    phase, ifirst, isecond, spans, method=method,
-                    pthresh=pthr, smorder=smorder, smfactor_log10=smfactor,
-                    vcmt=vcmt, mst_sel=sel, interp=interp)
-            except np.linalg.LinAlgError:
-                nv = len(dates) - 1
-                tscuml = np.full(nv, np.nan, dtype=np.float32)
+            dates, _spans, _tsincr, tscuml = res
             urls.append(url)
             # float32 round-trip == the TS_SCHEMA stage boundary
             ys.append(np.concatenate(([0.0], tscuml))
