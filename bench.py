@@ -185,7 +185,77 @@ def main():
     meta["inverted_urls"] = timed("pages_inversion", inversion)
     meta["inversion_rows_per_sec"] = round(
         meta["pair_rows"] / max(timings["pages_inversion"], 1e-9))
+
+    # ---- MST-on inversion (r5, VERDICT r4 item 9): same fused
+    # operator with per-key MST observation selection, so the Kruskal
+    # cost is on the record before anyone flips the default ----
+    if _want("inversion_mst"):
+        from pyrate_spark.operators.grouped import linear_rate_from_pairs
+        timed("inversion_mst",
+              lambda: linear_rate_from_pairs(pairs, cfg,
+                                             use_mst=True).count(),
+              reps=1)
+        meta["inversion_mst_rows_per_sec"] = round(
+            meta["pair_rows"] / max(timings["inversion_mst"], 1e-9))
+
     pairs.unpersist()
+
+    # ---- streaming maintenance (r5, VERDICT r4 item 6): one
+    # availableNow incremental pass over a freshly-appended delta
+    # (time-split at the 90th percentile of warc_ts — the realistic
+    # "new crawl lands" shape) plus a compact_day_store sweep of a
+    # streaming-fragmented day store ----
+    if _want("streaming_maintenance"):
+        import shutil
+        import tempfile
+        from pyrate_spark.plans.backfill import write_raw_store
+        from pyrate_spark.plans.retention import compact_day_store
+        from pyrate_spark.streaming.tiers import streaming_series_rollup
+        base = tempfile.mkdtemp(prefix="pyrate_bench_stream_")
+        src, out, ck = f"{base}/src", f"{base}/tier", f"{base}/ck"
+        store = f"{base}/store"
+        slim = series.select("url", "warc_ts", "value")
+        cut = slim.agg(
+            F.expr("percentile_approx(warc_ts, 0.9)")).first()[0]
+        initial = slim.where(F.col("warc_ts") < F.lit(cut))
+        delta = slim.where(F.col("warc_ts") >= F.lit(cut)).persist()
+        n_delta = delta.count()
+
+        def one_pass():
+            stream = (spark.readStream
+                      .schema("url string, warc_ts timestamp, "
+                              "value double")
+                      .parquet(src))
+            q = (streaming_series_rollup(stream, "1 hour", 0.5,
+                                         "2 hours")
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .outputMode("append").trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+
+        initial.write.mode("overwrite").parquet(src)
+        one_pass()                      # initial load, untimed
+        delta.write.mode("append").parquet(src)
+        write_raw_store(initial, store)
+        for i in range(6):              # streaming-append fragmentation
+            write_raw_store(
+                delta.where(F.pmod(F.xxhash64("url"), F.lit(6)) == i),
+                store, mode="append")
+
+        def maintenance():
+            one_pass()                  # incremental: delta only
+            return compact_day_store(spark, store, max_files_per_day=4,
+                                     min_age_days=None)
+
+        res = timed("streaming_maintenance", maintenance, reps=1)
+        meta["streaming_delta_rows"] = n_delta
+        meta["streaming_delta_rows_per_sec"] = round(
+            n_delta / max(timings["streaming_maintenance"], 1e-9))
+        meta["compacted_days"] = len(res["compacted"])
+        delta.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
     series.unpersist()
 
     # ---- driver tables ----
