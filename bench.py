@@ -175,11 +175,21 @@ def main():
           lambda: network_pairs(series, max_span_days=3,
                                 max_pairs_per_epoch=2).count())
 
+    # hot-key detection ONCE per pipeline, threaded through the grouped
+    # stages (the salted_buckets contract; r5 — previously every timed
+    # rep re-ran the counting aggregation over the persisted pairs)
+    from pyrate_spark.operators.grouped import detect_hot_keys
+    t0 = time.perf_counter()
+    hot = detect_hot_keys(pairs)
+    meta["hot_key_detect_sec"] = round(time.perf_counter() - t0, 3)
+    meta["hot_keys"] = len(hot)
+
     def inversion():
         # fused pairs->rates (one grouped-map stage; bit-exact vs the
         # two-stage chain — tests/test_fused_rates.py)
         from pyrate_spark.operators.grouped import linear_rate_from_pairs
-        lr = linear_rate_from_pairs(pairs, cfg, use_mst=False)
+        lr = linear_rate_from_pairs(pairs, cfg, use_mst=False,
+                                    hot_keys=hot)
         return lr.count()
 
     meta["inverted_urls"] = timed("pages_inversion", inversion)
@@ -192,8 +202,8 @@ def main():
     if _want("inversion_mst"):
         from pyrate_spark.operators.grouped import linear_rate_from_pairs
         timed("inversion_mst",
-              lambda: linear_rate_from_pairs(pairs, cfg,
-                                             use_mst=True).count(),
+              lambda: linear_rate_from_pairs(pairs, cfg, use_mst=True,
+                                             hot_keys=hot).count(),
               reps=1)
         meta["inversion_mst_rows_per_sec"] = round(
             meta["pair_rows"] / max(timings["inversion_mst"], 1e-9))
