@@ -60,7 +60,8 @@ def compact_day_store(spark: SparkSession, path: str,
                       max_files_per_day: int = 4,
                       target_bytes: int = 128 * 1024 * 1024,
                       min_age_days: int | None = 1,
-                      now_ts: dt.datetime | None = None) -> dict:
+                      now_ts: dt.datetime | None = None,
+                      max_concurrency: int = 4) -> dict:
     """Small-file compaction for a day-partitioned store — the ops
     counterpart of streaming append: every availableNow maintenance
     pass appends files, and at 10^12 rows a day partition accumulating
@@ -84,9 +85,16 @@ def compact_day_store(spark: SparkSession, path: str,
     never silently dropped. Partition listing is metadata; only
     over-fragmented days are read.
 
+    Day partitions are independent, so up to ``max_concurrency``
+    rewrites run as concurrent Spark jobs (driver threads — the
+    standard multi-job submission pattern); at 10^12 rows a
+    maintenance pass touches many days and serial per-day jobs leave
+    the cluster idle between them.
+
     Returns {"compacted": {day: (files_before, files_after)},
     "skipped": [days], "aborted": [days]}.
     """
+    from concurrent.futures import ThreadPoolExecutor
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
@@ -102,6 +110,7 @@ def compact_day_store(spark: SparkSession, path: str,
                 if f.getPath().getName().endswith(".parquet")]
 
     compacted, skipped, aborted = {}, [], []
+    candidates = []
     for st in fs.listStatus(base):
         name = st.getPath().getName()
         if not name.startswith(f"{DAY_COL}="):
@@ -114,6 +123,10 @@ def compact_day_store(spark: SparkSession, path: str,
         if len(files) <= max_files_per_day:
             skipped.append(day)
             continue
+        candidates.append((day, name, st.getPath(), files))
+
+    def compact_one(cand):
+        day, name, live_path, files = cand
         snapshot = {f.getPath().getName() for f in files}
         nbytes = sum(f.getLen() for f in files)
         n_out = max(1, -(-nbytes // target_bytes))
@@ -123,27 +136,34 @@ def compact_day_store(spark: SparkSession, path: str,
         _rewrite_partition(spark, part_dir, tmp_dir, n_out)
         # A file appended between the read snapshot and the swap would
         # be lost by the rewrite — abort this day rather than drop it.
-        now_names = {f.getPath().getName()
-                     for f in _data_files(st.getPath())}
+        now_names = {f.getPath().getName() for f in _data_files(live_path)}
         if now_names - snapshot:
             fs.delete(hpath(tmp_dir), True)
-            aborted.append(day)
-            continue
+            return day, None
         # Rename-first swap: the live partition path is replaced, never
         # absent. Crash after step 1 → readers miss one partition until
         # the next pass re-runs; crash after step 2 → fully swapped
         # with a stale .compact_old_* to clean up; Spark readers ignore
         # dot-prefixed dirs in every intermediate state.
         fs.delete(hpath(old_dir), True)
-        if not fs.rename(st.getPath(), hpath(old_dir)):
+        if not fs.rename(live_path, hpath(old_dir)):
             raise IOError(f"compaction rename-aside failed for {part_dir}")
-        if not fs.rename(hpath(tmp_dir), st.getPath()):
+        if not fs.rename(hpath(tmp_dir), live_path):
             # Roll the old copy back so the partition is not left absent.
-            fs.rename(hpath(old_dir), st.getPath())
+            fs.rename(hpath(old_dir), live_path)
             raise IOError(f"compaction rename-in failed for {part_dir}")
         fs.delete(hpath(old_dir), True)
-        n_after = len(_data_files(st.getPath()))
-        compacted[day] = (len(files), n_after)
+        return day, (len(files), len(_data_files(live_path)))
+
+    if candidates:
+        with ThreadPoolExecutor(
+                max_workers=max(1, min(max_concurrency,
+                                       len(candidates)))) as pool:
+            for day, result in pool.map(compact_one, candidates):
+                if result is None:
+                    aborted.append(day)
+                else:
+                    compacted[day] = result
     return {"compacted": compacted, "skipped": sorted(skipped),
             "aborted": sorted(aborted)}
 
