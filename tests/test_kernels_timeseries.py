@@ -128,3 +128,44 @@ class TestPivotedQR:
         assert np.linalg.matrix_rank(a) == 4
         # trailing R diagonal ~ 0
         assert abs(R[4, 4]) < 1e-10
+
+
+def test_rank_structure_matches_union_find():
+    """The vectorized min-label CC (r5) must agree with a plain
+    union-find on (covered, rank, full) over random incidence graphs,
+    including disconnected and chain shapes."""
+    import numpy as np
+    from pyrate_spark.kernels.timeseries import _rank_structure
+
+    def ref(ifirst, isecond, nv):
+        lo = np.minimum(ifirst, isecond)
+        hi = np.maximum(ifirst, isecond)
+        cover = np.zeros(nv + 1, dtype=np.int64)
+        np.add.at(cover, lo, 1)
+        np.add.at(cover, hi, -1)
+        covered = int(np.count_nonzero(np.cumsum(cover)[:nv] > 0))
+        parent = list(range(nv + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(lo.tolist(), hi.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        nodes = sorted(set(lo.tolist()) | set(hi.tolist()))
+        comps = len({find(n) for n in nodes})
+        rank = len(nodes) - comps
+        return covered, rank, covered == rank
+
+    rng = np.random.default_rng(31)
+    for trial in range(1500):
+        nv = int(rng.integers(2, 60))
+        ne = int(rng.integers(1, 100))
+        a = rng.integers(0, nv, ne)
+        b = rng.integers(0, nv + 1, ne)
+        b = np.where(b == a, (a + 1) % (nv + 1), b)
+        assert _rank_structure(a, b, nv) == ref(a, b, nv), trial
