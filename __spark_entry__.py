@@ -1069,6 +1069,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_obs").cast("long").alias("n_obs"))
     q["streaming_cascade_daily"] = q_streaming_cascade_daily
 
+    def q_rollup_stats(spark, sf):
+        """Order-statistics continuous aggregate (r5,
+        rollup.tier_rollup_stats): exact per-bucket min/max plus
+        lower-discrete p50/p95 selected from the sorted valid values —
+        element selection is bit-reproducible, so the oracle replays
+        it with list indexing and no rounding is needed."""
+        from pyrate_spark.operators.rollup import tier_rollup_stats
+        t = tier_rollup_stats(_events(spark, sf), "1 hour")
+        return t.select("url", _u("bucket_start").alias("bucket_unix"),
+                        "vmin", "vmax", "p50", "p95",
+                        F.col("n_valid").cast("long").alias("n_valid"),
+                        F.col("n_obs").cast("long").alias("n_obs"))
+    q["rollup_stats"] = q_rollup_stats
+
     # The driver's correctness gate runs the FIRST 50 dict entries only.
     # The window holds the primary gate of every CORE operator; the
     # tail holds (a) redundant exact-baseline variants whose operators
@@ -1124,12 +1138,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     the triangle enumeration + signed sums every
     #                     iteration (G6 wraps G3-G5), and loop order/
     #                     signing stay pytest-gated vs the reference
+    #   rollup_stats    — (new in r5, registered straight to tail so
+    #                     the 50-entry window membership is unchanged)
+    #                     order-statistics tier variant; D1's mean
+    #                     tier gates stay in-window, and this gate
+    #                     runs in every local check_oracles pass
     tail = ["frame_sample", "nn_downsample",
             "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
             "linear_rate_sql", "rollup_weekly", "refpixel_argmin",
             "multimodal_resize", "aux_tile_average",
-            "closure_triangles"]
+            "closure_triangles", "rollup_stats"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -2234,6 +2253,34 @@ def oracle_sql() -> dict[str, str]:
                    AS g,
                round(255.0 * least(1.0, cls / 127.0), 4) AS b
         FROM c
+    """
+
+    # exact order statistics: element selection, not a sketch — the
+    # replay is bit-for-bit, no rounding anywhere
+    o["rollup_stats"] = f"""
+        WITH s AS (
+          SELECT url,
+                 CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT)
+                     // 3600 * 3600 AS bucket_unix,
+                 value
+          FROM ({ev})),
+        g AS (
+          SELECT url, bucket_unix,
+                 min(value) AS vmin, max(value) AS vmax,
+                 list_sort(list(value) FILTER (WHERE value IS NOT NULL))
+                     AS sv,
+                 count(value) AS n_valid,
+                 count(*) AS n_obs
+          FROM s GROUP BY 1, 2)
+        SELECT url, bucket_unix, vmin, vmax,
+               CASE WHEN n_valid > 0 THEN
+                 sv[greatest(CAST(ceil(n_valid * 0.5) AS INT), 1)]
+               END AS p50,
+               CASE WHEN n_valid > 0 THEN
+                 sv[greatest(CAST(ceil(n_valid * 0.95) AS INT), 1)]
+               END AS p95,
+               n_valid, n_obs
+        FROM g
     """
 
     return o

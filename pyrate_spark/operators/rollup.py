@@ -52,6 +52,45 @@ def tier_rollup(series: DataFrame, tier: str = "1 hour",
     )
 
 
+def tier_rollup_stats(series: DataFrame, tier: str = "1 hour",
+                      value_col: str = "value",
+                      quantiles: tuple = (0.5, 0.95)) -> DataFrame:
+    """Order-statistics continuous aggregate (r5): per (url, bucket)
+    exact min / max / discrete quantiles over the valid values — the
+    per-bucket quality-percentile columns a training-data pipeline
+    keeps next to the mean tier. One shuffle, no UDF.
+
+    Quantiles are EXACT lower-discrete (element at 1-based index
+    ceil(q*n) of the sorted valid values), not percentile_approx: the
+    sketch's error bounds are engine-specific, while element selection
+    is bit-reproducible and a SQL oracle can replay it verbatim.
+    Per-bucket sorted lists are bounded by the raw-per-bucket fanout
+    (tens of rows at hourly grain, the reference multilook shape). At
+    coarser tiers compute stats from raw with a wider window — order
+    statistics don't cascade (the standard continuous-aggregate
+    trade-off for percentiles; means/counts cascade via
+    ``cascade_rollup``)."""
+    win = F.window("warc_ts", tier)
+    v = F.col(value_col)
+    agg = (series
+           .groupBy("url", win.alias("w"))
+           .agg(F.min(v).alias("vmin"),
+                F.max(v).alias("vmax"),
+                F.sort_array(F.collect_list(v)).alias("_sorted"),
+                F.count(v).alias("n_valid"),
+                F.count(F.lit(1)).alias("n_obs")))
+    n = F.col("n_valid")
+    cols = ["url", F.col("w.start").alias("bucket_start"),
+            "vmin", "vmax"]
+    for q in quantiles:
+        idx = F.greatest(F.ceil(n * F.lit(float(q))).cast("int"),
+                         F.lit(1))
+        cols.append(F.when(n > 0, F.element_at("_sorted", idx))
+                    .alias(f"p{int(round(q * 100)):02d}"))
+    cols += ["n_valid", "n_obs"]
+    return agg.select(*cols)
+
+
 def cascade_rollup(prev_tier: DataFrame, tier: str,
                    thresh: float = 0.5) -> DataFrame:
     """tier N-1 -> tier N without touching raw data. Means are weighted

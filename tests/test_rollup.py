@@ -117,3 +117,26 @@ def test_cumulative(spark):
         rows, "url string, bucket_start timestamp, value_avg double")
     out = cumulative(tier).orderBy("bucket_start").toPandas()
     assert out["value_cuml"].tolist() == [1.0, 3.0, 6.0, 10.0]
+
+
+def test_tier_rollup_stats_exact_order_statistics(spark):
+    """min/max/p50/p95 are exact element selections over the valid
+    values; NULL-only buckets yield NULL stats but keep their counts."""
+    import datetime as dt
+    from pyrate_spark.operators.rollup import tier_rollup_stats
+    base = dt.datetime(2024, 5, 1, 10, 0, 0)
+    rows = [("a", base + dt.timedelta(minutes=m), v)
+            for m, v in [(0, 5.0), (5, 1.0), (10, 3.0), (15, None),
+                         (20, 9.0), (25, 7.0)]]
+    rows += [("b", base + dt.timedelta(minutes=m), None) for m in (0, 30)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double")
+    out = {r["url"]: r for r in tier_rollup_stats(df, "1 hour").collect()}
+    a = out["a"]
+    # sorted valid = [1,3,5,7,9]; p50 -> ceil(2.5)=3rd -> 5; p95 ->
+    # ceil(4.75)=5th -> 9
+    assert (a["vmin"], a["vmax"], a["p50"], a["p95"]) == (1.0, 9.0, 5.0, 9.0)
+    assert (a["n_valid"], a["n_obs"]) == (5, 6)
+    b = out["b"]
+    assert b["vmin"] is None and b["p50"] is None and b["p95"] is None
+    assert (b["n_valid"], b["n_obs"]) == (0, 2)
