@@ -7,7 +7,11 @@ payload encoding mandated by BASELINE.json.
 Encodes one key's tier series (int64 epoch seconds + float64 values,
 NaN allowed) into a bytes block; decode is the exact inverse. Pure
 python/numpy bit-twiddling — runs inside Arrow-batched pandas UDFs at
-the tier sink, never per-row in the hot relational path.
+the tier sink, never per-row in the hot relational path. Both codec
+halves have lane-parallel batch entries (``encode_blocks`` /
+``decode_blocks``) that amortise numpy call overhead across every
+block in an Arrow batch — the per-block functions remain as the
+reference implementations the batch paths are bit-equal to.
 """
 
 from __future__ import annotations
