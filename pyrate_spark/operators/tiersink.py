@@ -97,4 +97,6 @@ def decode_tier(encoded: DataFrame) -> DataFrame:
                     np.concatenate(tss).astype("datetime64[s]"),
                 "value_avg": np.concatenate(vals)})
 
-    return encoded.mapInPandas(fn, DEC_SCHEMA)
+    # mapInPandas ships every input column over Arrow — only the key
+    # and the block payload are read (r5, same fix as the encode side)
+    return encoded.select("url", "block").mapInPandas(fn, DEC_SCHEMA)
