@@ -40,19 +40,22 @@ def encode_tier(tier_df: DataFrame, tier_name: str = "1 hour",
         # over the whole Arrow batch: per-url encode_block calls spent
         # more time in numpy call overhead than in bit packing at
         # tier-shaped block sizes (tens of points x tens of thousands
-        # of urls per bucket)
-        urls = pdf["url"].to_numpy()
+        # of urls per bucket). Sorting is done on factorized int codes,
+        # not the url strings themselves — hash-factorize + int lexsort
+        # is ~4x faster than lexsort over an object array, and only
+        # grouping (not lexicographic url order) matters here.
+        codes, uniques = pd.factorize(pdf["url"], sort=False)
         ts_all = ts_seconds(pdf[ts_col])
-        order = np.lexsort((ts_all, urls))
-        urls_s = urls[order]
+        order = np.lexsort((ts_all, codes))
+        codes_s = codes[order]
         ts_s = ts_all[order]
         v_s = pdf[value_col].to_numpy(dtype=np.float64)[order]
         bounds = np.flatnonzero(
-            np.concatenate(([True], urls_s[1:] != urls_s[:-1])))
-        counts = np.diff(np.concatenate((bounds, [len(urls_s)])))
+            np.concatenate(([True], codes_s[1:] != codes_s[:-1])))
+        counts = np.diff(np.concatenate((bounds, [len(codes_s)])))
         blocks = encode_blocks_flat(ts_s, v_s, counts)
         return pd.DataFrame({
-            "url": urls_s[bounds],
+            "url": uniques.to_numpy()[codes_s[bounds]],
             "tier": tier_name,
             "n_points": counts.astype(np.int32),
             "bytes_raw": counts * 16,
