@@ -289,6 +289,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("value_filled", 5).alias("value_filled"))
     q["gapfill_locf"] = q_gapfill_locf
 
+    def q_gapfill_interp(spark, sf):
+        """T17 linear-interpolation gap-fill (TimescaleDB
+        interpolate() semantics): gaps lerp between bracketing
+        observed buckets, edges outside the first/last observation
+        stay NULL."""
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             # pin the lerp inputs: avg() summation order differs
+             # between engines in the last ulp, and the lerp's
+             # multipliers amplify that across the round-5 boundary
+             .withColumn("value_avg", F.round("value_avg", 5)))
+        g = gapfill_tier(t, "1 hour", method="interp")
+        # no final round: with round-5 inputs the lerp is bit-identical
+        # across engines (verified), while round() itself is NOT (the
+        # two engines disagree on scaled-halfway doubles)
+        return g.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.col("value_filled"))
+    q["gapfill_interp"] = q_gapfill_interp
+
+    def q_asof_tier_join(spark, sf):
+        """As-of join (new r5): every raw event enriched with the most
+        recent OBSERVED hourly bucket at-or-before it (below-threshold
+        buckets are gaps, so matches really do reach back), matches
+        staler than 2 h nulled out — vs DuckDB's native ASOF LEFT
+        JOIN."""
+        from pyrate_spark.operators.asof import asof_join
+        s = _events(spark, sf)
+        hourly = (tier_rollup(s, "1 hour", thresh=0.5)
+                  .where(F.col("value_avg").isNotNull())
+                  .select("url", "bucket_start",
+                          F.col("value_avg").alias("asof_avg")))
+        j = asof_join(s, hourly, tolerance_sec=7200)
+        return j.select("url", _u("warc_ts").alias("ts_unix"),
+                        F.round("value", 5).alias("value"),
+                        _u("asof_ts").alias("asof_unix"),
+                        F.round("asof_avg", 5).alias("asof_avg"))
+    q["asof_tier_join"] = q_asof_tier_join
+
     # ---------------- aggregations (A1-A5, A9) ----------------
     def q_nan_fraction(spark, sf):
         s = _events(spark, sf)
@@ -933,6 +970,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_obs").cast("long").alias("n_obs"))
     q["checkpoint_roundtrip"] = q_checkpoint_roundtrip
 
+    def q_snapshot_time_travel(spark, sf):
+        """Snapshot store gate (new r5): odd-hour buckets committed as
+        v1, even-hour appended as v2, then v3 OVERWRITES the table
+        with only the odd half — reading AS OF v2 must still equal
+        the full direct rollup (snapshot isolation / time travel:
+        the later overwrite is invisible to a v2 reader)."""
+        import tempfile
+        from pyrate_spark.plans.snapshots import (commit_snapshot,
+                                                  read_snapshot)
+        store = tempfile.mkdtemp(prefix="pyrate_snap_gate_")
+        hourly = tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+        # hour-aligned buckets: unix % 7200 == 3600 <=> odd hour index
+        odd = F.pmod(_u("bucket_start"), F.lit(7200)) == 3600
+        commit_snapshot(hourly.where(odd), store, mode="append")
+        commit_snapshot(hourly.where(~odd), store, mode="append")
+        commit_snapshot(hourly.where(odd), store, mode="overwrite")
+        t = read_snapshot(spark, store, version=2)
+        return t.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.round("value_avg", 5).alias("value_avg"),
+                        F.round("null_fraction", 6).alias("null_fraction"),
+                        F.col("n_obs").cast("long").alias("n_obs"))
+    q["snapshot_time_travel"] = q_snapshot_time_travel
+
     # ---------------- stateful streaming twins (§2.9, tail) ----------
     def q_streaming_gapfill_locf(spark, sf):
         """Stateful LOCF gap-filler (applyInPandasWithState), one
@@ -1143,12 +1203,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     order-statistics tier variant; D1's mean
     #                     tier gates stay in-window, and this gate
     #                     runs in every local check_oracles pass
+    # r5b swap: three NEW operators move INTO the window —
+    # asof_tier_join (the as-of join vs DuckDB's native ASOF LEFT
+    # JOIN), gapfill_interp (T17 linear interpolation), and
+    # snapshot_time_travel (the Iceberg-contract snapshot store:
+    # a v2 reader must not see the later overwrite). Moved out in
+    # their place, each with an in-window sibling:
+    #   knn_lsh         — (tail since r5) the kNN row stays gated
+    #                     in-window by knn_ivf (same recall-floor
+    #                     gate construction, same brute re-execution)
+    #   fingerprint     — (tail since r5) the text row keeps three
+    #                     in-window legs (token_count, text_quality,
+    #                     lang_id) and the stronger rolling-hash
+    #                     fingerprint stays oracle-gated in the tail
+    #   pricing_summary — (tail since r5) the TPC-H-style relational
+    #                     anchor, not a SURVEY §2 operator; plain
+    #                     groupBy/agg that every other gate exercises
     tail = ["frame_sample", "nn_downsample",
             "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
             "linear_rate_sql", "rollup_weekly", "refpixel_argmin",
             "multimodal_resize", "aux_tile_average",
-            "closure_triangles", "rollup_stats"]
+            "closure_triangles", "rollup_stats",
+            "knn_lsh", "fingerprint", "pricing_summary"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1317,6 +1394,62 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g LEFT JOIN v
           ON g.url = v.url AND g.bucket_unix = v.bucket_unix
     """
+
+    o["gapfill_interp"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT url, bucket_unix,
+                     round({_thr.format(t=0.5)}, 5) AS value_avg FROM h),
+        ext AS (SELECT url, min(bucket_unix) mn, max(bucket_unix) mx
+                FROM v GROUP BY url),
+        grid AS (SELECT url, unnest(generate_series(mn, mx, 3600))
+                     AS bucket_unix FROM ext),
+        j AS (SELECT g.url, g.bucket_unix, v.value_avg
+              FROM grid g LEFT JOIN v
+                ON g.url = v.url AND g.bucket_unix = v.bucket_unix),
+        br AS (SELECT url, bucket_unix, value_avg,
+               last_value(CASE WHEN value_avg IS NOT NULL
+                          THEN bucket_unix END IGNORE NULLS) OVER wp AS pt,
+               last_value(value_avg IGNORE NULLS) OVER wp AS pv,
+               first_value(CASE WHEN value_avg IS NOT NULL
+                           THEN bucket_unix END IGNORE NULLS) OVER wn AS nt,
+               first_value(value_avg IGNORE NULLS) OVER wn AS nv
+               FROM j
+               WINDOW wp AS (PARTITION BY url ORDER BY bucket_unix
+                             ROWS UNBOUNDED PRECEDING),
+                      wn AS (PARTITION BY url ORDER BY bucket_unix
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING))
+        SELECT url, bucket_unix,
+               CASE WHEN value_avg IS NOT NULL THEN value_avg
+                    WHEN pt IS NOT NULL AND nt IS NOT NULL
+                    THEN pv + (nv - pv) * (bucket_unix - pt) / (nt - pt)
+                    END AS value_filled
+        FROM br
+    """
+
+    o["asof_tier_join"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT url, bucket_unix,
+                     {_thr.format(t=0.5)} AS value_avg FROM h),
+        obs AS (SELECT url, bucket_unix, value_avg FROM v
+                WHERE value_avg IS NOT NULL),
+        l AS (SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_unix,
+                     value FROM ({ev})),
+        m AS (SELECT l.url, l.ts_unix, l.value,
+                     obs.bucket_unix, obs.value_avg
+              FROM l ASOF LEFT JOIN obs
+                ON l.url = obs.url AND l.ts_unix >= obs.bucket_unix)
+        SELECT url, ts_unix, round(value, 5) AS value,
+               CASE WHEN ts_unix - bucket_unix <= 7200
+                    THEN bucket_unix END AS asof_unix,
+               round(CASE WHEN ts_unix - bucket_unix <= 7200
+                     THEN value_avg END, 5) AS asof_avg
+        FROM m
+    """
+
+    # snapshot time travel: a v2 reader sees exactly the direct rollup
+    # (the later overwrite must be invisible)
+    o["snapshot_time_travel"] = o["rollup_hourly"]
 
     # stateful streaming twins replay the SAME batch oracles
     o["streaming_gapfill_locf"] = o["gapfill_locf"]

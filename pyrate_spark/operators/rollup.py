@@ -166,11 +166,17 @@ def gapfill_tier(tier_df: DataFrame, tier: str = "1 hour",
     """T17 gap-fill on a tier: materialise the full per-url bucket grid
     with ``sequence()`` + explode (no Python), left-join the observed
     buckets, then fill. ``locf`` = last observation carried forward via
-    ``last(..., ignorenulls)`` over an ordered window; ``zero`` = 0.0.
+    ``last(..., ignorenulls)`` over an ordered window; ``zero`` = 0.0;
+    ``interp`` = linear interpolation between the bracketing observed
+    buckets (TimescaleDB ``interpolate()`` semantics — edges outside
+    the first/last observation stay NULL), matching the reference's
+    temporal interpolation of correction surfaces (aps.py — the NaN
+    pixels are time-interpolated before the low-pass).
 
     The grid join is co-partitioned on url (both sides shuffle on the
-    same key once); the window reuses that partitioning — no extra
-    exchange at scale.
+    same key once); the windows reuse that partitioning — no extra
+    exchange at scale (interp's two windows share one sort: same
+    partition key, mirrored frames).
     """
     step = TIER_SECONDS[tier]
     grid = (tier_df.groupBy("url")
@@ -187,9 +193,31 @@ def gapfill_tier(tier_df: DataFrame, tier: str = "1 hour",
     from pyspark.sql import Window
     w = (Window.partitionBy("url").orderBy("bucket_start")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if method == "locf":
+        return joined.withColumn(
+            "value_filled",
+            F.last("value_avg", ignorenulls=True).over(w))
+    if method != "interp":
+        raise ValueError(f"unknown gap-fill method {method!r}")
+    # the observation travels as one non-null struct so the two
+    # ignorenulls windows skip gap rows and below-threshold buckets
+    # identically; _t in unix seconds keeps the lerp in pure column
+    # arithmetic
+    obs = F.when(
+        F.col("value_avg").isNotNull(),
+        F.struct(F.unix_timestamp("bucket_start").alias("_t"),
+                 F.col("value_avg").alias("_v")))
+    wn = (Window.partitionBy("url").orderBy("bucket_start")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    prev = F.last(obs, ignorenulls=True).over(w)
+    nxt = F.first(obs, ignorenulls=True).over(wn)
+    t = F.unix_timestamp("bucket_start")
+    lerp = (prev["_v"] + (nxt["_v"] - prev["_v"])
+            * (t - prev["_t"]) / (nxt["_t"] - prev["_t"]))
     return joined.withColumn(
         "value_filled",
-        F.last("value_avg", ignorenulls=True).over(w))
+        F.when(F.col("value_avg").isNotNull(), F.col("value_avg"))
+        .when(prev.isNotNull() & nxt.isNotNull(), lerp))
 
 
 def cumulative(tier_df: DataFrame, value_col: str = "value_avg") -> DataFrame:
