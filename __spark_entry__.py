@@ -993,6 +993,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_obs").cast("long").alias("n_obs"))
     q["snapshot_time_travel"] = q_snapshot_time_travel
 
+    def q_snapshot_merge_upsert(spark, sf):
+        """MERGE INTO gate (new r5, tail): commit the hourly tier,
+        upsert a delta that halves every even-hour bucket's value,
+        read back latest — equals the direct rollup with the CASE
+        applied (update leg; the insert leg is pytest-gated)."""
+        import tempfile
+        from pyrate_spark.plans.snapshots import (commit_snapshot,
+                                                  merge_snapshot,
+                                                  read_snapshot)
+        store = tempfile.mkdtemp(prefix="pyrate_merge_gate_")
+        hourly = tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+        commit_snapshot(hourly, store, mode="append")
+        even = F.pmod(_u("bucket_start"), F.lit(7200)) == 0
+        delta = (hourly.where(even)
+                 .withColumn("value_avg", F.col("value_avg") * 0.5))
+        merge_snapshot(delta, store, keys=("url", "bucket_start"))
+        t = read_snapshot(spark, store)
+        return t.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.round("value_avg", 5).alias("value_avg"),
+                        F.round("null_fraction", 6).alias("null_fraction"),
+                        F.col("n_obs").cast("long").alias("n_obs"))
+    q["snapshot_merge_upsert"] = q_snapshot_merge_upsert
+
     # ---------------- stateful streaming twins (§2.9, tail) ----------
     def q_streaming_gapfill_locf(spark, sf):
         """Stateful LOCF gap-filler (applyInPandasWithState), one
@@ -1219,13 +1242,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   pricing_summary — (tail since r5) the TPC-H-style relational
     #                     anchor, not a SURVEY §2 operator; plain
     #                     groupBy/agg that every other gate exercises
+    #   snapshot_merge_upsert — (new in r5, registered straight to
+    #                     tail) the MERGE INTO update leg; the store's
+    #                     commit/read machinery is gated in-window by
+    #                     snapshot_time_travel, the insert leg and CAS
+    #                     race are pytest-gated
     tail = ["frame_sample", "nn_downsample",
             "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
             "linear_rate_sql", "rollup_weekly", "refpixel_argmin",
             "multimodal_resize", "aux_tile_average",
             "closure_triangles", "rollup_stats",
-            "knn_lsh", "fingerprint", "pricing_summary"]
+            "knn_lsh", "fingerprint", "pricing_summary",
+            "snapshot_merge_upsert"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1450,6 +1479,19 @@ def oracle_sql() -> dict[str, str]:
     # snapshot time travel: a v2 reader sees exactly the direct rollup
     # (the later overwrite must be invisible)
     o["snapshot_time_travel"] = o["rollup_hourly"]
+
+    # MERGE INTO: post-upsert state == direct rollup with the delta's
+    # transform applied to the matched keys (x0.5 is exponent-only, so
+    # round-5 behaves identically to the plain rollup_hourly gate)
+    o["snapshot_merge_upsert"] = f"""
+        WITH h AS ({_HOURLY_SQL})
+        SELECT url, bucket_unix,
+               round(CASE WHEN bucket_unix % 7200 = 0
+                     THEN ({_thr.format(t=0.5)}) * 0.5
+                     ELSE {_thr.format(t=0.5)} END, 5) AS value_avg,
+               round(null_fraction, 6) AS null_fraction, n_obs
+        FROM h
+    """
 
     # stateful streaming twins replay the SAME batch oracles
     o["streaming_gapfill_locf"] = o["gapfill_locf"]

@@ -198,6 +198,33 @@ def test_snapshot_concurrent_commit_cas(spark, tmp_path):
     assert snap.read_snapshot(spark, store).count() == 20
 
 
+def test_snapshot_merge_upsert(spark, tmp_path):
+    store = str(tmp_path / "merge")
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0)],
+        "url string, bucket_start int, v double")
+    # merge into an empty store == initial commit
+    m1 = snap.merge_snapshot(base, store, keys=("url", "bucket_start"))
+    assert m1["version"] == 1
+    # update one key, insert one new key
+    delta = spark.createDataFrame(
+        [("a", 2, 99.0), ("c", 5, 50.0)],
+        "url string, bucket_start int, v double")
+    m2 = snap.merge_snapshot(delta, store, keys=("url", "bucket_start"))
+    assert m2["version"] == 2 and m2["properties"]["merge_keys"] == \
+        ["url", "bucket_start"]
+    got = {(r["url"], r["bucket_start"]): r["v"]
+           for r in snap.read_snapshot(spark, store).collect()}
+    assert got == {("a", 1): 10.0, ("a", 2): 99.0,
+                   ("b", 1): 30.0, ("c", 5): 50.0}
+    # pre-merge state is still time-travelable
+    v1 = {(r["url"], r["bucket_start"]): r["v"]
+          for r in snap.read_snapshot(spark, store, 1).collect()}
+    assert v1[("a", 2)] == 20.0 and ("c", 5) not in v1
+    with pytest.raises(ValueError, match="absent"):
+        snap.merge_snapshot(delta.withColumnRenamed("url", "u"), store)
+
+
 def test_snapshot_modes_validated(spark, tmp_path):
     with pytest.raises(ValueError):
         snap.commit_snapshot(spark.range(1), str(tmp_path / "x"),
