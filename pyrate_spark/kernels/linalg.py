@@ -61,32 +61,85 @@ def gram_pivot_order(a: np.ndarray) -> np.ndarray:
     resident for n ~ hundreds) instead of the m x n factor streamed
     every iteration. Used by the rank-repair path where only the pivot
     ORDER matters (the dependent-column set), not Q or R values.
+
+    r5: outer-product Schur-complement form (S <- S - col row / piv)
+    instead of accumulating an L factor nobody reads. The per-step
+    update has NO reductions, which is what lets the batched variant
+    below run the identical elementwise arithmetic across a stack of
+    Gram matrices (bit-equal pivot trajectories, batch-invariant).
+    The greedy choice sequence can differ from the L-form only within
+    exact ties / at the ~0-residual tail; the dependent-column SET —
+    the only thing the repair consumes — is unchanged (checked over
+    500 random incidence-structured matrices + the reference-value
+    kernel tests + the full oracle gate).
     """
     G = np.asarray(a, dtype=np.float64)
-    G = G.T @ G
-    n = G.shape[0]
-    G = G.copy()
+    S = (G.T @ G).copy()
+    n = S.shape[0]
     piv = np.arange(n)
-    L = np.zeros((n, n))
-    d = np.diagonal(G).copy()
-    for k in range(n):
+    d = np.diagonal(S).copy()
+    for k in range(n - 1):
         j = int(np.argmax(d[k:])) + k
+        if d[j] <= 1e-300:
+            break    # residual space empty; remaining cols all dependent
         if j != k:
             piv[[k, j]] = piv[[j, k]]
             d[[k, j]] = d[[j, k]]
-            G[[k, j], :] = G[[j, k], :]
-            G[:, [k, j]] = G[:, [j, k]]
-            L[[k, j], :k] = L[[j, k], :k]
-        pivval = d[k]
-        if pivval <= 1e-300:
-            break    # residual space empty; remaining cols all dependent
-        lkk = np.sqrt(pivval)
-        L[k, k] = lkk
-        if k + 1 < n:
-            col = (G[k + 1:, k] - L[k + 1:, :k] @ L[k, :k]) / lkk
-            L[k + 1:, k] = col
-            d[k + 1:] -= col * col
-            np.maximum(d[k + 1:], 0.0, out=d[k + 1:])
+            S[[k, j], :] = S[[j, k], :]
+            S[:, [k, j]] = S[:, [j, k]]
+        row = S[k, k + 1:]
+        col = S[k + 1:, k] / d[k]
+        S[k + 1:, k + 1:] -= col[:, None] * row[None, :]
+        d[k + 1:] -= col * row
+        np.maximum(d[k + 1:], 0.0, out=d[k + 1:])
+    return piv
+
+
+def gram_pivot_order_batched(grams: np.ndarray) -> np.ndarray:
+    """Pivot orders for a (B, n, n) stack of Gram matrices in ONE
+    elementwise-vectorized greedy loop: n iterations of batched
+    argmax / symmetric swap / rank-1 Schur update, no per-matrix
+    python loop. Every operation is elementwise or an independent
+    per-matrix argmax — no cross-element reductions — so each
+    matrix's pivot trajectory is bit-identical to running it alone
+    (batch composition cannot change results; O4 determinism).
+
+    Matrices whose residual space empties early (rank < n) keep
+    their remaining columns in current order — only the SET past the
+    rank index is consumed by the caller.
+    """
+    S = np.array(grams, dtype=np.float64, copy=True)
+    b, n, _ = S.shape
+    piv = np.broadcast_to(np.arange(n), (b, n)).copy()
+    d = np.diagonal(S, axis1=1, axis2=2).copy()
+    rows = np.arange(b)
+    alive = np.ones(b, dtype=bool)
+    for k in range(n - 1):
+        j = np.argmax(d[:, k:], axis=1) + k
+        alive = alive & (d[rows, j] > 1e-300)
+        if not alive.any():
+            break
+        # freeze finished matrices by "swapping" k with k (no-op)
+        j = np.where(alive, j, k)
+        swap = j != k
+        if swap.any():
+            bs = rows[swap]
+            js = j[swap]
+            piv[bs, k], piv[bs, js] = piv[bs, js], piv[bs, k].copy()
+            d[bs, k], d[bs, js] = d[bs, js], d[bs, k].copy()
+            S[bs, k, :], S[bs, js, :] = S[bs, js, :], S[bs, k, :].copy()
+            S[bs, :, k], S[bs, :, js] = S[bs, :, js], S[bs, :, k].copy()
+        row = S[:, k, k + 1:]
+        denom = np.where(alive, d[:, k], 1.0)[:, None]
+        col = S[:, k + 1:, k] / denom
+        upd = col[:, :, None] * row[:, None, :]
+        # frozen matrices must not keep updating (their d[k] is junk)
+        if not alive.all():
+            upd[~alive] = 0.0
+        S[:, k + 1:, k + 1:] -= upd
+        dt = d[:, k + 1:]
+        dt -= np.where(alive[:, None], col * row, 0.0)
+        np.maximum(dt, 0.0, out=dt)
     return piv
 
 

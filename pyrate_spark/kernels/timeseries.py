@@ -91,7 +91,13 @@ def _remove_rank_def_rows(b_mat, nvelpar, ifgv, sel, rank):
       max-residual-norm rule as QR column pivoting, cache-resident);
     - rank passed in from the exact structural computation
       (_rank_structure) instead of an SVD matrix_rank — identical for
-      these incidence-structured matrices."""
+      these incidence-structured matrices.
+    The grouped-map kernels don't reach this scalar path on repaired
+    keys: ``operators.udf_kernels._inverted_keys`` runs the identical
+    repair as batched rounds across every key in the Arrow batch
+    (pinned bit-equal by tests/test_fused_rates.py's
+    batched-vs-internal equivalence case) and hands this function's
+    caller an already-repaired selection."""
     e_var = gram_pivot_order(b_mat)
     licols = e_var[rank:nvelpar]
     rmrow, _ = np.where(b_mat[:, licols] != 0)

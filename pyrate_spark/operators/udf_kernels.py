@@ -93,16 +93,12 @@ def _sorted_key_rows(first_all, second_all, idx):
     return idx[sub]
 
 
-def _invert_key(first_all, second_all, phase_all, weight_all, mv_all,
-                idx, method, pthr, smorder, smfactor, use_mst, vcm_mode):
-    """Per-key inversion inner loop SHARED by ``make_timeseries_fn``
-    and the fused ``make_timeseries_rates_fn`` (r5: one body replaces
-    the r4 deliberate duplication, so the two paths cannot drift —
-    tests/test_fused_rates.py additionally pins fused == two-stage
-    bit-equality): deterministic sort, epoch build, optional per-key
-    MST selection (timeseries.py:49), VCM weighting, SVD/Laplacian
-    solve. Returns (dates, spans, tsincr, tscuml) — NaN series on
-    singular systems — or None when the key has < 2 epochs."""
+def _prep_key(first_all, second_all, phase_all, weight_all, idx,
+              use_mst):
+    """Per-key inversion prologue: deterministic sort, epoch build,
+    optional per-key MST selection (timeseries.py:49). Returns the
+    state tuple consumed by ``_solve_key`` — or None when the key has
+    < 2 epochs."""
     idx = _sorted_key_rows(first_all, second_all, idx)
     fs, ss = first_all[idx], second_all[idx]
     phase, weight = phase_all[idx], weight_all[idx]
@@ -118,6 +114,15 @@ def _invert_key(first_all, second_all, phase_all, weight_all, mv_all,
     else:
         sel = ~np.isnan(phase)
         interp = 0
+    return idx, phase, dates, spans, ifirst, isecond, sel, interp
+
+
+def _solve_key(state, mv_all, method, pthr, smorder, smfactor,
+               vcm_mode):
+    """Per-key inversion solve: VCM weighting + SVD/Laplacian solve.
+    Returns (dates, spans, tsincr, tscuml) — NaN series on singular
+    systems."""
+    idx, phase, dates, spans, ifirst, isecond, sel, interp = state
     vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond,
                      mv_all[idx] if mv_all is not None else None)
     try:
@@ -131,6 +136,114 @@ def _invert_key(first_all, second_all, phase_all, weight_all, mv_all,
     return dates, spans, tsincr, tscuml
 
 
+def _batched_repair(states, pthr):
+    """Run the rank-repair loop (timeseries.py:160-199 semantics, the
+    same primitives ``time_series_pixel`` uses internally) as BATCHED
+    ROUNDS across every key in the Arrow batch: round r computes the
+    pivoted-Cholesky orders of every still-deficient key in one
+    ``gram_pivot_order_batched`` call (grouped by matrix size), applies
+    the row removals, re-checks the exact structural rank, and carries
+    survivors into round r+1. The batched pivot loop has no
+    cross-element reductions, so each key's pivot trajectory is
+    bit-identical to the scalar computation regardless of batch
+    composition (O4 determinism); equivalence with the pixel-internal
+    scalar repair is pinned by tests/test_fused_rates.py.
+
+    Returns {state_index: repaired_row_index_array}. A repaired key is
+    then solved with ``mst_sel`` = that selection and ``pthresh=0``:
+    the pixel re-runs the exact structural check, sees full rank (or
+    <= 1 rows -> NaN), and never enters its own scalar repair. The
+    pthresh gate was already applied here on the ORIGINAL selection,
+    matching the pixel's entry check."""
+    from pyrate_spark.kernels.linalg import gram_pivot_order_batched
+    from pyrate_spark.kernels.timeseries import (_rank_structure,
+                                                 design_matrix)
+    work: dict[int, list] = {}
+    for i, st in enumerate(states):
+        if st is None:
+            continue
+        _, phase, _, spans, ifirst, isecond, selmask, interp = st
+        if interp != 0:
+            continue
+        nvelpar = len(spans) - 1
+        sel_idx = np.flatnonzero(selmask)
+        if len(sel_idx) < max(pthr, 1) or len(sel_idx) <= 1:
+            continue   # pixel early-outs identically on the original sel
+        _, rank, full = _rank_structure(ifirst[sel_idx],
+                                        isecond[sel_idx], nvelpar)
+        if full:
+            continue
+        span = np.diff(np.asarray(spans, dtype=np.float64))
+        b0 = design_matrix(np.asarray(ifirst), np.asarray(isecond),
+                           span, nvelpar)
+        work[i] = [b0, sel_idx, rank, nvelpar]
+    repaired: dict[int, np.ndarray] = {}
+    while work:
+        by_n: dict[int, list] = {}
+        for i, (b0, sel_idx, rank, nvel) in work.items():
+            by_n.setdefault(nvel, []).append(
+                (i, b0[sel_idx].T @ b0[sel_idx]))
+        pivs = {}
+        for items in by_n.values():
+            pv = gram_pivot_order_batched(
+                np.stack([g for _, g in items]))
+            for j, (i, _) in enumerate(items):
+                pivs[i] = pv[j]
+        for i in list(work):
+            b0, sel_idx, rank, nvel = work[i]
+            licols = pivs[i][rank:nvel]
+            rmrow = np.unique(np.where(b0[sel_idx][:, licols] != 0)[0])
+            if len(rmrow) == 0:        # defensive: no progress -> bail
+                repaired[i] = sel_idx
+                del work[i]
+                continue
+            sel_idx = np.delete(sel_idx, rmrow)
+            if len(sel_idx) <= 1:      # pixel returns NaN on this
+                repaired[i] = sel_idx
+                del work[i]
+                continue
+            st = states[i]
+            _, rank, full = _rank_structure(st[4][sel_idx],
+                                            st[5][sel_idx], nvel)
+            if full:
+                repaired[i] = sel_idx
+                del work[i]
+            else:
+                work[i] = [b0, sel_idx, rank, nvel]
+    return repaired
+
+
+def _inverted_keys(pdf, method, pthr, smorder, smfactor, use_mst,
+                   vcm_mode):
+    """Inversion inner loop SHARED by ``make_timeseries_fn`` and the
+    fused ``make_timeseries_rates_fn`` (one body, so the two paths
+    cannot drift — tests/test_fused_rates.py additionally pins fused
+    == two-stage bit-equality). Yields (url, dates, spans, tsincr,
+    tscuml) per key. The rank-repair — 65% of the stage at bench
+    shape when run per key — is hoisted into batched rounds
+    (``_batched_repair``) before the per-key solves."""
+    first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
+    mv_all = _maxvar_array(pdf)
+    groups = list(group_slices(pdf))
+    states = [_prep_key(first_all, second_all, phase_all, weight_all,
+                        idx, use_mst) for _, idx in groups]
+    repaired = _batched_repair(states, pthr)
+    for i, ((url, _), st) in enumerate(zip(groups, states)):
+        if st is None:
+            continue
+        if i in repaired:
+            idx, phase, dates, spans, ifirst, isecond, _, interp = st
+            newmask = np.zeros(len(phase), dtype=bool)
+            newmask[repaired[i]] = True
+            st = (idx, phase, dates, spans, ifirst, isecond,
+                  newmask, interp)
+            yield (url, *_solve_key(st, mv_all, method, 0, smorder,
+                                    smfactor, vcm_mode))
+        else:
+            yield (url, *_solve_key(st, mv_all, method, pthr, smorder,
+                                    smfactor, vcm_mode))
+
+
 def make_timeseries_fn(method: int, pthr: int, smorder: int,
                        smfactor: float, use_mst: bool, vcm_mode: str):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -138,15 +251,9 @@ def make_timeseries_fn(method: int, pthr: int, smorder: int,
         # end (per-key pd.DataFrame + pd.concat was the dominant
         # allocation churn under 32 concurrent workers)
         urls, eids, etss, vels, incrs, cumls = [], [], [], [], [], []
-        first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
-        mv_all = _maxvar_array(pdf)
-        for url, idx in group_slices(pdf):
-            res = _invert_key(first_all, second_all, phase_all,
-                              weight_all, mv_all, idx, method, pthr,
-                              smorder, smfactor, use_mst, vcm_mode)
-            if res is None:
-                continue
-            dates, spans, tsincr, tscuml = res
+        for url, dates, spans, tsincr, tscuml in _inverted_keys(
+                pdf, method, pthr, smorder, smfactor, use_mst,
+                vcm_mode):
             span_d = np.diff(spans).astype(np.float32)
             with np.errstate(divide="ignore", invalid="ignore"):
                 tsvel = np.where(span_d != 0, tsincr / span_d, np.nan)
@@ -189,21 +296,16 @@ def make_timeseries_rates_fn(method: int, pthr: int, smorder: int,
     timeseries.py:111-157 then 292-379).
 
     Bit-exactness contract (tests/test_fused_rates.py): the inversion
-    inner loop IS make_timeseries_fn's (shared ``_invert_key`` since
-    r5), and the cumulative series is quantized to float32 before the
-    regression exactly as the TS_SCHEMA stage boundary would."""
+    inner loop IS make_timeseries_fn's (shared ``_inverted_keys``
+    since r5), and the cumulative series is quantized to float32
+    before the regression exactly as the TS_SCHEMA stage boundary
+    would."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
-        mv_all = _maxvar_array(pdf)
         urls, ys, ts_axes = [], [], []
-        for url, idx in group_slices(pdf):
-            res = _invert_key(first_all, second_all, phase_all,
-                              weight_all, mv_all, idx, method, pthr,
-                              smorder, smfactor, use_mst, vcm_mode)
-            if res is None:
-                continue
-            dates, _spans, _tsincr, tscuml = res
+        for url, dates, _spans, _tsincr, tscuml in _inverted_keys(
+                pdf, method, pthr, smorder, smfactor, use_mst,
+                vcm_mode):
             urls.append(url)
             # float32 round-trip == the TS_SCHEMA stage boundary
             ys.append(np.concatenate(([0.0], tscuml))

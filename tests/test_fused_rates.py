@@ -56,3 +56,67 @@ def test_fused_halves_the_exchanges(spark, pairs):
     assert exchange_count(fused) < exchange_count(two)
     plan = fused._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+@pytest.mark.parametrize("method,pthr,use_mst,vcm", [
+    (2, 0, False, "identity"), (1, 0, False, "identity"),
+    (2, 3, False, "identity"), (2, 0, True, "identity"),
+    (2, 0, False, "general"),
+])
+def test_batched_repair_equals_internal_scalar(method, pthr, use_mst,
+                                               vcm):
+    """The batched-rounds rank repair (_batched_repair) must be
+    bit-equal to time_series_pixel's internal scalar repair loop for
+    every key, across methods / pthr / MST / VCM modes — randomized
+    NaN-heavy inputs so most keys are rank-deficient."""
+    import pandas as pd
+    from pyrate_spark.operators.udf_kernels import (_inverted_keys,
+                                                    _pair_arrays,
+                                                    _maxvar_array,
+                                                    _prep_key,
+                                                    _solve_key,
+                                                    group_slices)
+
+    rng = np.random.RandomState(hash((method, pthr, use_mst)) % 2**31)
+    n_urls, pairs_per, epochs = 60, 40, 24
+    n = n_urls * pairs_per
+    urls = np.repeat([f"u{i:03d}" for i in range(n_urls)], pairs_per)
+    f = rng.randint(0, epochs - 1, n)
+    s = np.minimum(f + rng.randint(1, 4, n), epochs - 1)
+    f[s <= f] = s[s <= f] - 1
+    base = 1700000000
+    pdf = pd.DataFrame({
+        "url": urls,
+        "ts_first": pd.to_datetime(base + f * 21600, unit="s"),
+        "ts_second": pd.to_datetime(base + s * 21600, unit="s"),
+        "delta_value": rng.randn(n),
+        "nan_fraction": np.abs(rng.randn(n)) * 0.1,
+    })
+    pdf.loc[rng.rand(n) < 0.35, "delta_value"] = np.nan
+
+    batched = list(_inverted_keys(pdf, method, pthr, 2, -1.0,
+                                  use_mst, vcm))
+    # internal-scalar reference: per-key solve with NO pre-repair
+    first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
+    mv_all = _maxvar_array(pdf)
+    scalar = []
+    for url, idx in group_slices(pdf):
+        st = _prep_key(first_all, second_all, phase_all, weight_all,
+                       idx, use_mst)
+        if st is None:
+            continue
+        scalar.append((url, *_solve_key(st, mv_all, method, pthr, 2,
+                                        -1.0, vcm)))
+    assert len(batched) == len(scalar) > 0
+    n_def = 0
+    for (ub, db, sb, ib, cb), (us, ds, ss, is_, cs) in zip(batched,
+                                                           scalar):
+        assert ub == us
+        np.testing.assert_array_equal(db, ds)
+        np.testing.assert_array_equal(
+            ib.view(np.uint32), is_.view(np.uint32), err_msg=ub)
+        np.testing.assert_array_equal(
+            cb.view(np.uint32), cs.view(np.uint32), err_msg=ub)
+        n_def += int(np.isnan(ib).any())
+    # the input really exercises deficiency
+    assert n_def > 0
