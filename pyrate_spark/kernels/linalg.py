@@ -95,7 +95,23 @@ def gram_pivot_order(a: np.ndarray) -> np.ndarray:
     return piv
 
 
-def gram_pivot_order_batched(grams: np.ndarray) -> np.ndarray:
+def gram_pivot_order_batched(grams: np.ndarray,
+                             chunk: int = 16) -> np.ndarray:
+    """Chunked driver for ``_gram_pivot_order_batch_core``: blocks of
+    ``chunk`` matrices keep the working set cache-resident (16 x 47^2
+    doubles ~ 280 KB) — with 32 concurrent python workers per box the
+    unchunked full-batch sweep turns a cache-hot loop into a
+    memory-bandwidth fight and loses the vectorization win."""
+    grams = np.asarray(grams, dtype=np.float64)
+    b = grams.shape[0]
+    if b <= chunk:
+        return _gram_pivot_order_batch_core(grams)
+    return np.concatenate(
+        [_gram_pivot_order_batch_core(grams[i:i + chunk])
+         for i in range(0, b, chunk)], axis=0)
+
+
+def _gram_pivot_order_batch_core(grams: np.ndarray) -> np.ndarray:
     """Pivot orders for a (B, n, n) stack of Gram matrices in ONE
     elementwise-vectorized greedy loop: n iterations of batched
     argmax / symmetric swap / rank-1 Schur update, no per-matrix
