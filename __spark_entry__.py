@@ -1016,6 +1016,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_obs").cast("long").alias("n_obs"))
     q["snapshot_merge_upsert"] = q_snapshot_merge_upsert
 
+    def q_counter_rate_hourly(spark, sf):
+        """PromQL-style counter delta/rate with reset detection over
+        the hourly tier (new r5, tail). Inputs pinned to round-5 so
+        the lag arithmetic is bit-identical across engines; outputs
+        emitted unrounded (deterministic given pinned inputs)."""
+        from pyrate_spark.operators.rollup import counter_rate
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5)))
+        c = counter_rate(t)
+        return c.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.col("value_avg"), F.col("delta"),
+                        F.col("rate_per_sec"))
+    q["counter_rate_hourly"] = q_counter_rate_hourly
+
+    def q_ewma_hourly(spark, sf):
+        """EWMA (adjust=False recurrence, alpha=0.3) per url over the
+        hourly tier (new r5, tail): an exact JVM fold via
+        sort_array + aggregate; DuckDB's list_reduce replays the
+        identical operation order, so no output rounding is needed."""
+        from pyrate_spark.operators.rollup import ewma_tier
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5)))
+        e = ewma_tier(t, alpha=0.3)
+        return e.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.col("value_avg"), F.col("value_ewma"))
+    q["ewma_hourly"] = q_ewma_hourly
+
     # ---------------- stateful streaming twins (§2.9, tail) ----------
     def q_streaming_gapfill_locf(spark, sf):
         """Stateful LOCF gap-filler (applyInPandasWithState), one
@@ -1247,6 +1274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     commit/read machinery is gated in-window by
     #                     snapshot_time_travel, the insert leg and CAS
     #                     race are pytest-gated
+    #   counter_rate_hourly / ewma_hourly — (new in r5, registered
+    #                     straight to tail) PromQL counter semantics
+    #                     and the exact-fold EWMA; both pure column
+    #                     algebra over the in-window hourly tier
     tail = ["frame_sample", "nn_downsample",
             "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
@@ -1254,7 +1285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_resize", "aux_tile_average",
             "closure_triangles", "rollup_stats",
             "knn_lsh", "fingerprint", "pricing_summary",
-            "snapshot_merge_upsert"]
+            "snapshot_merge_upsert", "counter_rate_hourly",
+            "ewma_hourly"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1479,6 +1511,48 @@ def oracle_sql() -> dict[str, str]:
     # snapshot time travel: a v2 reader sees exactly the direct rollup
     # (the later overwrite must be invisible)
     o["snapshot_time_travel"] = o["rollup_hourly"]
+
+    # counter semantics: lag-based delta with reset detection; inputs
+    # pinned to round-5 on both sides, outputs unrounded (bit-equal
+    # given pinned inputs — same policy as gapfill_interp)
+    o["counter_rate_hourly"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT url, bucket_unix,
+                     round({_thr.format(t=0.5)}, 5) AS value_avg FROM h),
+        lagged AS (SELECT url, bucket_unix, value_avg,
+               lag(value_avg) OVER w AS prev,
+               lag(bucket_unix) OVER w AS prev_bu
+               FROM v WINDOW w AS (PARTITION BY url ORDER BY bucket_unix)),
+        d AS (SELECT url, bucket_unix, value_avg, prev_bu,
+               CASE WHEN prev IS NULL OR value_avg IS NULL THEN NULL
+                    WHEN value_avg < prev THEN value_avg
+                    ELSE value_avg - prev END AS delta
+              FROM lagged)
+        SELECT url, bucket_unix, value_avg, delta,
+               delta / (bucket_unix - prev_bu) AS rate_per_sec
+        FROM d
+    """
+
+    # EWMA: DuckDB list_reduce over each sorted prefix replays the
+    # exact fold the Spark aggregate() runs — bit-equal, any alpha
+    o["ewma_hourly"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT * FROM (
+                  SELECT url, bucket_unix,
+                         round({_thr.format(t=0.5)}, 5) AS value_avg
+                  FROM h) WHERE value_avg IS NOT NULL),
+        s AS (SELECT url,
+                     list(bucket_unix ORDER BY bucket_unix) AS ts,
+                     list(value_avg ORDER BY bucket_unix) AS vs
+              FROM v GROUP BY url)
+        SELECT url, unnest(ts) AS bucket_unix,
+               unnest(vs) AS value_avg,
+               unnest(list_transform(range(1, len(vs) + 1),
+                   i -> list_reduce(vs[1:i],
+                        (acc, x) -> acc * 0.7 + x * 0.3)))
+                   AS value_ewma
+        FROM s
+    """
 
     # MERGE INTO: post-upsert state == direct rollup with the delta's
     # transform applied to the matched keys (x0.5 is exponent-only, so

@@ -227,3 +227,85 @@ def cumulative(tier_df: DataFrame, value_col: str = "value_avg") -> DataFrame:
     w = (Window.partitionBy("url").orderBy("bucket_start")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return tier_df.withColumn("value_cuml", F.sum(value_col).over(w))
+
+
+def counter_rate(tier_df: DataFrame, value_col: str = "value_avg",
+                 ts_col: str = "bucket_start") -> DataFrame:
+    """PromQL-style counter semantics over a tier: per-url delta and
+    per-second rate between consecutive buckets, with counter-RESET
+    detection (a monotone counter that drops below its previous sample
+    restarted; the post-reset delta is the new value itself, exactly
+    PromQL ``increase``/``rate``). TimescaleDB ``counter_agg`` /
+    Prometheus analog — the web-metric twin of the reference's
+    epoch-to-epoch incremental displacement (tsincr).
+
+    Pure window algebra: one shuffle on url, no Python. NULL-valued
+    buckets yield NULL delta/rate for themselves AND the next bucket
+    (no phantom increase across a gap; PromQL skips staleness markers
+    the same way).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy("url").orderBy(ts_col)
+    v = F.col(value_col)
+    prev = F.lag(value_col).over(w)
+    prev_ts = F.lag(ts_col).over(w)
+    delta = (F.when(prev.isNull() | v.isNull(), None)
+             .when(v < prev, v)              # reset: counter restarted
+             .otherwise(v - prev))
+    dt = (F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts))
+    return (tier_df
+            .withColumn("delta", delta)
+            .withColumn("rate_per_sec", delta / dt))
+
+
+def ewma_tier(tier_df: DataFrame, alpha: float = 0.5,
+              value_col: str = "value_avg",
+              ts_col: str = "bucket_start") -> DataFrame:
+    """Exponentially-weighted moving average per url over a tier:
+    y_0 = x_0; y_t = (1-alpha) * y_{t-1} + alpha * x_t (the
+    ``adjust=False`` recurrence; NULL buckets are skipped, the state
+    carries across them). The smoothing twin of the reference's
+    temporal low-pass (aps.py Gaussian filter) for dashboard-style
+    web metrics.
+
+    Implemented as an EXACT sequential fold in JVM column algebra —
+    ``sort_array`` + ``aggregate`` over the per-url bucket list — not
+    a window-sum closed form: the closed form needs pow((1-a), -t)
+    renormalisation that overflows for long series, while the fold is
+    O(n) per url, numerically the textbook recurrence, and
+    bit-reproducible (DuckDB's ``list_reduce`` replays the identical
+    operation order, which is how the oracle gates it). Per-url state
+    is one list per url — bounded by the tier's retention window, the
+    same bound every per-url window op here lives under. Emits one
+    row per url per observed bucket with the smoothed value.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    obs = (tier_df.where(F.col(value_col).isNotNull())
+           .groupBy("url")
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(ts_col).alias("t"),
+               F.col(value_col).alias("v")))).alias("_series")))
+    a = float(alpha)
+    # running fold that APPENDS each smoothed value: acc is a struct
+    # (y = current state, out = array of smoothed values so far)
+    ew = F.expr(f"""
+        aggregate(
+            _series,
+            struct(CAST(NULL AS DOUBLE) AS y,
+                   CAST(array() AS ARRAY<DOUBLE>) AS out),
+            (acc, x) -> struct(
+                CASE WHEN acc.y IS NULL THEN x.v
+                     ELSE acc.y * {1.0 - a!r} + x.v * {a!r} END AS y,
+                array_append(acc.out,
+                    CASE WHEN acc.y IS NULL THEN x.v
+                         ELSE acc.y * {1.0 - a!r} + x.v * {a!r} END)
+                    AS out),
+            acc -> acc.out)
+    """)
+    return (obs.withColumn("_ew", ew)
+            .select("url",
+                    F.expr("inline(arrays_zip(_series, _ew))"))
+            .select("url", F.col("_series.t").alias(ts_col),
+                    F.col("_series.v").alias(value_col),
+                    F.col("_ew").alias("value_ewma")))

@@ -140,3 +140,47 @@ def test_tier_rollup_stats_exact_order_statistics(spark):
     b = out["b"]
     assert b["vmin"] is None and b["p50"] is None and b["p95"] is None
     assert (b["n_valid"], b["n_obs"]) == (0, 2)
+
+
+def test_counter_rate_reset_detection(spark):
+    from pyrate_spark.operators.rollup import counter_rate
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u", base + dt.timedelta(hours=h), v, 0.0, 1)
+            for h, v in [(0, 100.0), (1, 150.0), (2, 30.0),  # reset
+                         (4, 90.0),                          # gap: dt=2h
+                         (5, None), (6, 50.0)]]               # null gap
+    tier = spark.createDataFrame(
+        rows, "url string, bucket_start timestamp, value_avg double, "
+              "null_fraction double, n_obs long")
+    got = {r["bucket_start"].hour: (r["delta"], r["rate_per_sec"])
+           for r in counter_rate(tier).collect()}
+    assert got[0] == (None, None)                 # no previous sample
+    assert got[1] == (50.0, 50.0 / 3600)
+    assert got[2] == (30.0, 30.0 / 3600)          # reset -> new value
+    assert got[4] == (60.0, 60.0 / 7200)          # across the gap
+    assert got[5] == (None, None)                 # null bucket
+    assert got[6] == (None, None)                 # prev was null
+
+
+def test_ewma_matches_pandas(spark, series):
+    from pyrate_spark.operators.rollup import ewma_tier, tier_rollup
+    tier = tier_rollup(series, "1 hour", thresh=0.99)
+    got = (ewma_tier(tier, alpha=0.3)
+           .orderBy("url", "bucket_start").toPandas())
+    exp = (tier.where(F.col("value_avg").isNotNull())
+           .orderBy("url", "bucket_start").toPandas())
+    for url, g in got.groupby("url"):
+        e = exp[exp["url"] == url]
+        ref = e["value_avg"].ewm(alpha=0.3, adjust=False).mean()
+        np.testing.assert_allclose(g["value_ewma"].to_numpy(),
+                                   ref.to_numpy(), rtol=1e-12)
+    # y_0 == x_0 (adjust=False recurrence seed)
+    firsts = got.groupby("url").first()
+    np.testing.assert_array_equal(firsts["value_ewma"],
+                                  firsts["value_avg"])
+
+
+def test_ewma_alpha_validated(spark, series):
+    from pyrate_spark.operators.rollup import ewma_tier, tier_rollup
+    with pytest.raises(ValueError):
+        ewma_tier(tier_rollup(series, "1 hour"), alpha=0.0)
