@@ -1043,6 +1043,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("value_avg"), F.col("value_ewma"))
     q["ewma_hourly"] = q_ewma_hourly
 
+    def q_sessionize_30m(spark, sf):
+        """Web-analytics sessionization (new r5, tail): Spark
+        session_window vs the DuckDB gaps-and-islands replay. Pure
+        integer-second arithmetic except value_avg (round-5)."""
+        from pyrate_spark.operators.windows import sessionize
+        s = sessionize(_events(spark, sf), gap="30 minutes")
+        return s.select("url",
+                        _u("session_start").alias("session_start_unix"),
+                        _u("session_end").alias("session_end_unix"),
+                        F.col("n_events").cast("long").alias("n_events"),
+                        F.round("value_avg", 5).alias("value_avg"),
+                        _u("first_ts").alias("first_unix"),
+                        _u("last_ts").alias("last_unix"))
+    q["sessionize_30m"] = q_sessionize_30m
+
+    def q_topk_hourly(spark, sf):
+        """Per-bucket heavy hitters (new r5, tail): top-3 urls by
+        (round-5-pinned) hourly value, ties on url — ranked inside the
+        bucket so no global sort exists."""
+        from pyrate_spark.operators.windows import topk_per_bucket
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5)))
+        k = topk_per_bucket(t, k=3)
+        return k.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.col("value_avg"),
+                        F.col("rank").cast("long").alias("rank"))
+    q["topk_hourly"] = q_topk_hourly
+
     # ---------------- stateful streaming twins (§2.9, tail) ----------
     def q_streaming_gapfill_locf(spark, sf):
         """Stateful LOCF gap-filler (applyInPandasWithState), one
@@ -1286,7 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "closure_triangles", "rollup_stats",
             "knn_lsh", "fingerprint", "pricing_summary",
             "snapshot_merge_upsert", "counter_rate_hourly",
-            "ewma_hourly"]
+            "ewma_hourly", "sessionize_30m", "topk_hourly"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1552,6 +1580,51 @@ def oracle_sql() -> dict[str, str]:
                         (acc, x) -> acc * 0.7 + x * 0.3)))
                    AS value_ewma
         FROM s
+    """
+
+    # sessionization: gaps-and-islands replay of session_window —
+    # same-session iff ts - prev <= 1800 (Spark merges sessions whose
+    # [start, last+gap] windows touch, so an event at exactly
+    # prev+gap JOINS the session — pinned by
+    # test_sessionize_gap_semantics); session_end = last event + gap
+    o["sessionize_30m"] = f"""
+        WITH e AS (SELECT url,
+                          CAST(epoch(warc_ts) AS BIGINT) AS ts,
+                          value FROM ({ev})),
+        o AS (SELECT url, ts, value,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > 1800
+                   THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY url ORDER BY ts)),
+        s AS (SELECT url, ts, value,
+              sum(brk) OVER (PARTITION BY url ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+        SELECT url,
+               min(ts) AS session_start_unix,
+               max(ts) + 1800 AS session_end_unix,
+               count(*) AS n_events,
+               round(avg(value), 5) AS value_avg,
+               min(ts) AS first_unix,
+               max(ts) AS last_unix
+        FROM s GROUP BY url, sid
+    """
+
+    # heavy hitters: row_number inside the bucket on round-5-pinned
+    # values, ties on url ascending (both sides)
+    o["topk_hourly"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT * FROM (
+                  SELECT url, bucket_unix,
+                         round({_thr.format(t=0.5)}, 5) AS value_avg
+                  FROM h) WHERE value_avg IS NOT NULL),
+        r AS (SELECT url, bucket_unix, value_avg,
+              row_number() OVER (PARTITION BY bucket_unix
+                                 ORDER BY value_avg DESC, url ASC)
+                  AS rank
+              FROM v)
+        SELECT url, bucket_unix, value_avg, rank
+        FROM r WHERE rank <= 3
     """
 
     # MERGE INTO: post-upsert state == direct rollup with the delta's

@@ -184,3 +184,39 @@ def test_ewma_alpha_validated(spark, series):
     from pyrate_spark.operators.rollup import ewma_tier, tier_rollup
     with pytest.raises(ValueError):
         ewma_tier(tier_rollup(series, "1 hour"), alpha=0.0)
+
+
+def test_sessionize_gap_semantics(spark):
+    from pyrate_spark.operators.windows import sessionize
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u", base + dt.timedelta(minutes=m), float(m))
+            for m in [0, 10, 29, 70, 99, 130]]
+    # chains: 0-10-29 (gaps<30), 70-99 (29min), 130 (31min after 99)
+    got = (sessionize(spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double"),
+        gap="30 minutes")
+        .orderBy("session_start").collect())
+    assert [r["n_events"] for r in got] == [3, 2, 1]
+    assert got[0]["session_end"] == base + dt.timedelta(minutes=59)
+    # an event at EXACTLY prev+gap JOINS the session (Spark merges
+    # touching [start, last+gap] windows; the SQL oracle mirrors this)
+    two = [("u", base, 1.0), ("u", base + dt.timedelta(minutes=30), 2.0)]
+    got2 = sessionize(spark.createDataFrame(
+        two, "url string, warc_ts timestamp, value double"),
+        gap="30 minutes").collect()
+    assert len(got2) == 1 and got2[0]["n_events"] == 2
+
+
+def test_topk_per_bucket_ties_and_validation(spark):
+    from pyrate_spark.operators.windows import topk_per_bucket
+    base = dt.datetime(2024, 1, 1)
+    rows = [("a", base, 5.0, 0.0, 1), ("b", base, 5.0, 0.0, 1),
+            ("c", base, 7.0, 0.0, 1), ("d", base, None, 0.0, 1)]
+    tier = spark.createDataFrame(
+        rows, "url string, bucket_start timestamp, value_avg double, "
+              "null_fraction double, n_obs long")
+    got = [(r["url"], r["rank"]) for r in
+           topk_per_bucket(tier, k=2).orderBy("rank").collect()]
+    assert got == [("c", 1), ("a", 2)]   # tie a/b -> url asc; null out
+    with pytest.raises(ValueError):
+        topk_per_bucket(tier, k=0)
