@@ -1071,6 +1071,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("rank").cast("long").alias("rank"))
     q["topk_hourly"] = q_topk_hourly
 
+    def q_streaming_sessionize_30m(spark, sf):
+        """§2.9 twin (new r5, tail): availableNow streaming session
+        windows, sentinel-flushed to completion, equal the batch
+        sessionize oracle row-for-row (same flush protocol as
+        streaming_rollup_hourly; far-future __flush__ rows drive the
+        real sessions across the append-mode frontier)."""
+        import datetime
+        import tempfile
+        from pyrate_spark.streaming.tiers import streaming_sessionize
+        tmp = tempfile.mkdtemp(prefix="pyrate_sess_gate_")
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        ddl = "url string, warc_ts timestamp, value double"
+        s = _events(spark, sf)
+        s.coalesce(1).write.mode("overwrite").parquet(src)
+        mx = s.agg(F.max("warc_ts")).first()[0]
+
+        def one_pass():
+            stream = spark.readStream.schema(ddl).parquet(src)
+            job = (streaming_sessionize(stream, "30 minutes",
+                                        watermark="0 seconds")
+                   .writeStream.format("parquet").option("path", out)
+                   .option("checkpointLocation", ckpt)
+                   .outputMode("append")
+                   .trigger(availableNow=True).start())
+            job.awaitTermination(300)
+
+        one_pass()
+        for days in (40, 80):
+            flush = spark.createDataFrame(
+                [("__flush__", mx + datetime.timedelta(days=days),
+                  None)], ddl)
+            flush.write.mode("append").parquet(src)
+            one_pass()
+        t = (spark.read.parquet(out)
+             .where(F.col("url") != "__flush__"))
+        return t.select("url",
+                        _u("session_start").alias("session_start_unix"),
+                        _u("session_end").alias("session_end_unix"),
+                        F.col("n_events").cast("long").alias("n_events"),
+                        F.round("value_avg", 5).alias("value_avg"),
+                        _u("first_ts").alias("first_unix"),
+                        _u("last_ts").alias("last_unix"))
+    q["streaming_sessionize_30m"] = q_streaming_sessionize_30m
+
     # ---------------- stateful streaming twins (§2.9, tail) ----------
     def q_streaming_gapfill_locf(spark, sf):
         """Stateful LOCF gap-filler (applyInPandasWithState), one
@@ -1314,7 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "closure_triangles", "rollup_stats",
             "knn_lsh", "fingerprint", "pricing_summary",
             "snapshot_merge_upsert", "counter_rate_hourly",
-            "ewma_hourly", "sessionize_30m", "topk_hourly"]
+            "ewma_hourly", "sessionize_30m", "topk_hourly",
+            "streaming_sessionize_30m"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1641,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # stateful streaming twins replay the SAME batch oracles
+    o["streaming_sessionize_30m"] = o["sessionize_30m"]
     o["streaming_gapfill_locf"] = o["gapfill_locf"]
     o["streaming_cumsum"] = o["cumulative_hourly"]
     # streaming continuous-aggregate cascade == the batch cascade

@@ -266,6 +266,24 @@ def main():
         delta.unpersist()
         shutil.rmtree(base, ignore_errors=True)
 
+    # ---- as-of enrichment (r5): every raw point matched to the most
+    # recent OBSERVED hourly bucket — the new asof_join operator at
+    # sf0.1 shape (one shuffle + one ordered window) ----
+    if _want("asof_enrich"):
+        from pyrate_spark.operators.asof import asof_join
+        hourly3 = (tier_rollup(series, "1 hour", thresh=0.5)
+                   .where(F.col("value_avg").isNotNull())
+                   .select("url", "bucket_start",
+                           F.col("value_avg").alias("asof_avg"))
+                   .persist())
+        hourly3.count()                     # fill cache, untimed
+        timed("asof_enrich",
+              lambda: asof_join(series, hourly3,
+                                tolerance_sec=7200).count())
+        meta["asof_rows_per_sec"] = round(
+            n_rows / max(timings["asof_enrich"], 1e-9))
+        hourly3.unpersist()
+
     series.unpersist()
 
     # ---- driver tables ----

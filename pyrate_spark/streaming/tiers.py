@@ -112,3 +112,28 @@ def run_tier_maintenance(pages_stream: DataFrame, out_path: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+def streaming_sessionize(series: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "0 seconds") -> DataFrame:
+    """Streaming twin of operators.windows.sessionize: native dynamic
+    session windows under Structured Streaming — sessions grow while
+    events keep arriving within ``gap`` and finalise (append-mode
+    emit) once the watermark passes the session end. Same output
+    schema and same touch-merge boundary semantics as the batch
+    operator, so a fully-flushed run equals it row-for-row (the
+    streaming_sessionize_30m gate replays the batch oracle). State per
+    key is one open session — the canonical bounded-state web-log
+    shape."""
+    w = F.session_window("warc_ts", gap)
+    return (series
+            .withWatermark("warc_ts", watermark)
+            .groupBy("url", w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.avg("value").alias("value_avg"),
+                 F.min("warc_ts").alias("first_ts"),
+                 F.max("warc_ts").alias("last_ts"))
+            .select("url",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "value_avg", "first_ts", "last_ts"))
