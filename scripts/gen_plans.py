@@ -193,6 +193,39 @@ add("Bucketed-table groupBy (co-located)",
     "plan shape.",
     t.groupBy("url").agg(F.avg("value").alias("avg_value")))
 
+from pyrate_spark.operators.asof import asof_join
+hourly_obs = (tier_rollup(series, "1 hour", thresh=0.5)
+              .where(F.col("value_avg").isNotNull())
+              .select("url", "bucket_start",
+                      F.col("value_avg").alias("asof_avg")))
+add("As-of join (r5: union + side-bit + one ordered window)",
+    "NOT a non-equi range join (that plans as BroadcastNestedLoop and "
+    "explodes per key): both sides union on a side bit, ONE Exchange "
+    "on url, one sort, last(struct, ignorenulls) carries the latest "
+    "right row onto every left row. O(n log n) per partition.",
+    asof_join(series, hourly_obs, tolerance_sec=7200))
+
+from pyrate_spark.operators.windows import sessionize, topk_per_bucket
+add("Sessionization (session_window)",
+    "Native dynamic session merge in one hash aggregate (+ sort for "
+    "the merging agg). The same expression runs under Structured "
+    "Streaming with watermark state eviction.",
+    sessionize(series, gap="30 minutes"))
+
+add("Per-bucket top-k (heavy hitters)",
+    "row_number window partitioned by the BUCKET, never the url — "
+    "bucket count is bounded by retention while urls are unbounded, "
+    "so partitions stay shardable and no single-partition sort "
+    "exists.",
+    topk_per_bucket(tier_rollup(series, "1 hour", thresh=0.5), k=3))
+
+from pyrate_spark.operators.rollup import counter_rate, ewma_tier
+add("Counter delta/rate + EWMA fold",
+    "counter_rate: lag windows, one shuffle on url. ewma_tier: "
+    "sort_array + aggregate() higher-order fold — the whole recurrence "
+    "stays inside WholeStageCodegen, no Python anywhere.",
+    ewma_tier(tier_rollup(series, "1 hour", thresh=0.5), alpha=0.3))
+
 out = ["# PLANS — physical-plan audit of the core operators",
        "",
        "Generated by scripts/gen_plans.py (`df.explain('formatted')` on",
