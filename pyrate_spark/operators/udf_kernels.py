@@ -173,16 +173,25 @@ def _batched_repair(states, pthr):
                                         isecond[sel_idx], nvelpar)
         if full:
             continue
-        span = np.diff(np.asarray(spans, dtype=np.float64))
-        b0 = design_matrix(np.asarray(ifirst), np.asarray(isecond),
-                           span, nvelpar)
-        work[i] = [b0, sel_idx, rank, nvelpar]
+        work[i] = [sel_idx, rank, nvelpar]
+
+    def _b0(i):
+        # rebuilt per use (~0.06 ms) rather than held across rounds:
+        # keeps the driver's memory bound at O(selected-row indices)
+        # per deficient key, independent of the bucket's url count
+        st = states[i]
+        spans, ifirst, isecond = st[3], st[4], st[5]
+        return design_matrix(np.asarray(ifirst), np.asarray(isecond),
+                             np.diff(np.asarray(spans,
+                                                dtype=np.float64)),
+                             len(spans) - 1)
+
     repaired: dict[int, np.ndarray] = {}
     while work:
         by_n: dict[int, list] = {}
-        for i, (b0, sel_idx, rank, nvel) in work.items():
-            by_n.setdefault(nvel, []).append(
-                (i, b0[sel_idx].T @ b0[sel_idx]))
+        for i, (sel_idx, rank, nvel) in work.items():
+            b = _b0(i)[sel_idx]
+            by_n.setdefault(nvel, []).append((i, b.T @ b))
         pivs = {}
         for items in by_n.values():
             pv = gram_pivot_order_batched(
@@ -190,9 +199,10 @@ def _batched_repair(states, pthr):
             for j, (i, _) in enumerate(items):
                 pivs[i] = pv[j]
         for i in list(work):
-            b0, sel_idx, rank, nvel = work[i]
+            sel_idx, rank, nvel = work[i]
             licols = pivs[i][rank:nvel]
-            rmrow = np.unique(np.where(b0[sel_idx][:, licols] != 0)[0])
+            rmrow = np.unique(
+                np.where(_b0(i)[sel_idx][:, licols] != 0)[0])
             if len(rmrow) == 0:        # defensive: no progress -> bail
                 repaired[i] = sel_idx
                 del work[i]
@@ -209,7 +219,7 @@ def _batched_repair(states, pthr):
                 repaired[i] = sel_idx
                 del work[i]
             else:
-                work[i] = [b0, sel_idx, rank, nvel]
+                work[i] = [sel_idx, rank, nvel]
     return repaired
 
 
