@@ -289,3 +289,55 @@ def test_streaming_cascade_matches_batch(spark, tmp_path):
                                rtol=1e-12)
     np.testing.assert_allclose(got["null_fraction"],
                                expect["null_fraction"], rtol=1e-12)
+
+
+def test_streaming_sessionize_state_across_microbatches(spark, tmp_path):
+    """A session whose events straddle two availableNow passes must
+    MERGE (the open-session state survives the checkpoint), and a
+    sentinel flush then emits exactly the batch sessionize result."""
+    from pyrate_spark.operators.windows import sessionize
+    from pyrate_spark.streaming.tiers import streaming_sessionize
+
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    ddl = "url string, warc_ts timestamp, value double"
+
+    m = dt.timedelta(minutes=1)
+    pass1 = [("a", BASE, 1.0), ("a", BASE + 10 * m, 2.0),
+             ("b", BASE + 5 * m, 5.0)]
+    # continues a's open session (20 min after its last event) and
+    # starts a new one for b (40 min gap)
+    pass2 = [("a", BASE + 30 * m, 3.0), ("b", BASE + 45 * m, 6.0)]
+    flush = [("__flush__", BASE + dt.timedelta(days=30), None)]
+
+    def run(rows):
+        spark.createDataFrame(rows, ddl).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(ddl)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = (streaming_sessionize(stream, "30 minutes",
+                                  watermark="0 seconds")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run(pass1)
+    run(pass2)
+    run(flush)
+
+    got = (spark.read.parquet(out)
+           .where(F.col("url") != "__flush__")
+           .orderBy("url", "session_start")
+           .select("url", "session_start", "session_end", "n_events",
+                   "value_avg").toPandas())
+    want = (sessionize(
+        spark.createDataFrame(pass1 + pass2, ddl), gap="30 minutes")
+        .orderBy("url", "session_start")
+        .select("url", "session_start", "session_end", "n_events",
+                "value_avg").toPandas())
+    assert got.values.tolist() == want.values.tolist()
+    # the straddling session really merged: url a has ONE session of 3
+    a = got[got["url"] == "a"]
+    assert len(a) == 1 and a.iloc[0]["n_events"] == 3
