@@ -74,7 +74,14 @@ def gram_pivot_order(a: np.ndarray) -> np.ndarray:
     kernel tests + the full oracle gate).
     """
     G = np.asarray(a, dtype=np.float64)
-    S = (G.T @ G).copy()
+    return _pivot_from_gram(G.T @ G)
+
+
+def _pivot_from_gram(S: np.ndarray) -> np.ndarray:
+    """Scalar greedy loop on one Gram matrix — the exact elementwise
+    arithmetic of ``_gram_pivot_order_batch_core`` at B=1 (outer form,
+    no reductions), so scalar and batched trajectories are bit-equal."""
+    S = np.array(S, dtype=np.float64, copy=True)
     n = S.shape[0]
     piv = np.arange(n)
     d = np.diagonal(S).copy()
@@ -95,15 +102,26 @@ def gram_pivot_order(a: np.ndarray) -> np.ndarray:
     return piv
 
 
-def gram_pivot_order_batched(grams: np.ndarray,
-                             chunk: int = 16) -> np.ndarray:
-    """Chunked driver for ``_gram_pivot_order_batch_core``: blocks of
-    ``chunk`` matrices keep the working set cache-resident (16 x 47^2
-    doubles ~ 280 KB) — with 32 concurrent python workers per box the
-    unchunked full-batch sweep turns a cache-hot loop into a
-    memory-bandwidth fight and loses the vectorization win."""
+def _pivot_chunk_size(n: int, budget_bytes: int = 2_000_000) -> int:
+    """Matrices per batched sweep: sized so the chunk's working set
+    stays ~L2-resident. Small tier-shaped matrices (n ~ 47) batch 16
+    wide (amortises the python per-iteration overhead ~10x); large
+    epoch-rich matrices (n ~ 383, 1.2 MB each) already fill the cache
+    alone — batching them streams memory and LOSES (measured 28%
+    single-threaded, worse under 32 concurrent workers), so the chunk
+    collapses to 1 and the scalar loop runs instead."""
+    return max(1, min(16, budget_bytes // (n * n * 8)))
+
+
+def gram_pivot_order_batched(grams: np.ndarray) -> np.ndarray:
+    """Pivot orders for a (B, n, n) stack: cache-budgeted chunks
+    through the vectorized core, or the bit-equal scalar loop when one
+    matrix alone fills the budget."""
     grams = np.asarray(grams, dtype=np.float64)
-    b = grams.shape[0]
+    b, n, _ = grams.shape
+    chunk = _pivot_chunk_size(n)
+    if chunk <= 1:
+        return np.stack([_pivot_from_gram(g) for g in grams], axis=0)
     if b <= chunk:
         return _gram_pivot_order_batch_core(grams)
     return np.concatenate(
