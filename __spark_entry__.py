@@ -1043,6 +1043,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("value_avg"), F.col("value_ewma"))
     q["ewma_hourly"] = q_ewma_hourly
 
+    def q_anomaly_zscore_hourly(spark, sf):
+        """Trailing 24-bucket z-score anomaly flags over the hourly
+        tier (new r5, tail). Frame sum/sum-of-squares are exact left
+        folds over the frame-ordered history (same policy as
+        ewma_hourly: DuckDB list_prepend(0.0, ...) + list_reduce
+        replays Spark's aggregate() initial-value fold bit-for-bit),
+        so the z-score and the boolean flag need no tolerance; zscore
+        is emitted rounded only for the hash."""
+        from pyrate_spark.operators.anomaly import anomaly_zscore
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5)))
+        a = anomaly_zscore(t, window=24, nsig=2.0, min_obs=6)
+        return a.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.col("value_avg"),
+                        F.col("n_window").cast("long").alias("n_window"),
+                        F.round("zscore", 6).alias("zscore"),
+                        F.col("is_anomaly"))
+    q["anomaly_zscore_hourly"] = q_anomaly_zscore_hourly
+
+    def q_seasonal_residual(spark, sf):
+        """Hour-of-day seasonal baseline + residual per url (new r5,
+        tail). Timezone-free: hod is integer arithmetic on the epoch
+        bucket on BOTH sides; baseline is a plain groupBy-style avg,
+        rounded like every other avg gate."""
+        from pyrate_spark.operators.anomaly import seasonal_baseline
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5))
+             .withColumn("bucket_unix", _u("bucket_start"))
+             .drop("bucket_start"))
+        b = seasonal_baseline(t, ts_col="bucket_unix")
+        # residual re-derived from the ROUNDED baseline: subtraction
+        # of two cross-engine-identical doubles is deterministic,
+        # whereas value - raw_baseline can straddle a half-up boundary
+        return b.select("url", "bucket_unix", "value_avg",
+                        F.col("hod").cast("int").alias("hod"),
+                        F.round("baseline", 5).alias("baseline"),
+                        F.round(F.col("value_avg")
+                                - F.round("baseline", 5), 5)
+                        .alias("residual"),
+                        F.col("n_profile"))
+    q["seasonal_residual"] = q_seasonal_residual
+
     def q_sessionize_30m(spark, sf):
         """Web-analytics sessionization (new r5, tail): Spark
         session_window vs the DuckDB gaps-and-islands replay. Pure
@@ -1350,6 +1392,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     straight to tail) PromQL counter semantics
     #                     and the exact-fold EWMA; both pure column
     #                     algebra over the in-window hourly tier
+    #   anomaly_zscore_hourly / seasonal_residual — (new in r5,
+    #                     registered straight to tail) trailing
+    #                     z-score flags (exact-fold frame stats) and
+    #                     the hour-of-day seasonal profile; both pure
+    #                     window algebra over the in-window hourly
+    #                     tier
     tail = ["frame_sample", "nn_downsample",
             "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
@@ -1359,7 +1407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "knn_lsh", "fingerprint", "pricing_summary",
             "snapshot_merge_upsert", "counter_rate_hourly",
             "ewma_hourly", "sessionize_30m", "topk_hourly",
-            "streaming_sessionize_30m"]
+            "streaming_sessionize_30m",
+            "anomaly_zscore_hourly", "seasonal_residual"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1625,6 +1674,76 @@ def oracle_sql() -> dict[str, str]:
                         (acc, x) -> acc * 0.7 + x * 0.3)))
                    AS value_ewma
         FROM s
+    """
+
+    # trailing z-score: the frame list over ROWS BETWEEN 24 PRECEDING
+    # AND 1 PRECEDING is folded with an explicit 0.0 initial value
+    # (list_prepend) so sum and sum-of-squares replay Spark's
+    # aggregate() fold order bit-for-bit; mean/var/std/z then agree
+    # exactly and the flag needs no tolerance
+    o["anomaly_zscore_hourly"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT url, bucket_unix,
+                     round({_thr.format(t=0.5)}, 5) AS value_avg FROM h),
+        nn AS (SELECT * FROM v WHERE value_avg IS NOT NULL),
+        s AS (SELECT url, bucket_unix, value_avg,
+                     COALESCE(list(value_avg) OVER (PARTITION BY url
+                         ORDER BY bucket_unix
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+                         CAST([] AS DOUBLE[])) AS hist
+              FROM nn),
+        c AS (SELECT url, bucket_unix, value_avg,
+                     len(hist) AS n_window,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE), hist),
+                                 (a, x) -> a + x) AS s1,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                     list_transform(hist, x -> x * x)),
+                                 (a, x) -> a + x) AS s2
+              FROM s),
+        m AS (SELECT url, bucket_unix, value_avg, n_window,
+                     CASE WHEN n_window > 0 THEN s1 / n_window END AS mean,
+                     s2 FROM c),
+        d AS (SELECT url, bucket_unix, value_avg, n_window, mean,
+                     CASE WHEN n_window > 1
+                          THEN (s2 - n_window * mean * mean)
+                               / (n_window - 1) END AS var FROM m),
+        e AS (SELECT url, bucket_unix, value_avg, n_window, mean,
+                     CASE WHEN var > 0 THEN sqrt(var) END AS std FROM d),
+        z AS (SELECT url, bucket_unix, value_avg, n_window,
+                     CASE WHEN std IS NOT NULL
+                          THEN (value_avg - mean) / std END AS zraw
+              FROM e)
+        SELECT url, bucket_unix, value_avg, n_window,
+               round(zraw, 6) AS zscore,
+               CASE WHEN zraw IS NOT NULL AND n_window >= 6
+                         AND abs(zraw) > 2.0
+                    THEN TRUE ELSE FALSE END AS is_anomaly
+        FROM z
+    """
+
+    # seasonal profile: integer hour-of-day from the epoch bucket on
+    # both sides (timezone-free), plain windowed avg rounded like
+    # every other groupBy-avg gate
+    o["seasonal_residual"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT url, bucket_unix,
+                     round({_thr.format(t=0.5)}, 5) AS value_avg FROM h),
+        nn AS (SELECT url, bucket_unix, value_avg,
+                      CAST((bucket_unix % 86400) // 3600 AS INTEGER)
+                          AS hod
+               FROM v WHERE value_avg IS NOT NULL),
+        p AS (SELECT url, hod,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(value_avg ORDER BY bucket_unix)),
+                         (a, x) -> a + x) / count(*) AS baseline,
+                     count(*) AS n_profile
+              FROM nn GROUP BY url, hod)
+        SELECT nn.url, nn.bucket_unix, nn.value_avg, nn.hod,
+               round(p.baseline, 5) AS baseline,
+               round(nn.value_avg - round(p.baseline, 5), 5)
+                   AS residual,
+               p.n_profile
+        FROM nn JOIN p ON nn.url = p.url AND nn.hod = p.hod
     """
 
     # sessionization: gaps-and-islands replay of session_window —

@@ -1,0 +1,114 @@
+"""Anomaly detection over tier series: trailing z-score and
+hour-of-day seasonal baseline residuals.
+
+The reference pipeline's outlier handling is threshold masking
+(``maxsig``/``pthr`` gates, pyrate/core/stack.py) — static cuts that
+assume a stationary error model. A web-observability engine needs the
+dynamic complement: "is THIS bucket abnormal given THIS url's recent
+history / seasonal profile".  Both operators here are pure window /
+groupBy column algebra — whole-stage codegen, partitioned by url (an
+unbounded, shardable key), no Python in the hot path — so the plans
+survive a 1000-executor scale-up unchanged: one Exchange on url
+(resp. (url, hour-of-day)), then per-partition window evaluation.
+
+Determinism policy (shared with ``ewma_tier``): the trailing-window
+statistics are folded over the frame-ordered collected history so the
+float arithmetic is bit-reproducible across engines and parallelism
+levels; the seasonal profile is a plain groupBy mean, rounded like
+every other groupBy-avg gate in the suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def anomaly_zscore(tier_df: DataFrame, window: int = 24,
+                   nsig: float = 3.0, min_obs: int = 6,
+                   value_col: str = "value_avg",
+                   ts_col: str = "bucket_start") -> DataFrame:
+    """Trailing-window z-score anomaly flag per url.
+
+    For each (url, bucket): mean and sample std of the previous
+    ``window`` non-null buckets (current row EXCLUDED — the detector
+    never conditions on the point it is testing) give
+    ``z = (x - mean) / std``; the row is anomalous when at least
+    ``min_obs`` history rows exist, the variance is positive, and
+    ``|z| > nsig``.  Rows whose history is too short or flat carry
+    ``zscore = NULL, is_anomaly = false``.
+
+    The frame sums (sum, sum-of-squares) are exact left folds over the
+    frame-ordered history list, so both statistics — and therefore the
+    flag — are bit-identical in any engine that folds the same order.
+    O(window) per row; ``window`` is a small constant (24/168), not a
+    scale axis.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_obs < 2:
+        raise ValueError(f"min_obs must be >= 2, got {min_obs}")
+    t = tier_df.where(F.col(value_col).isNotNull())
+    w = (Window.partitionBy("url").orderBy(ts_col)
+         .rowsBetween(-window, -1))
+    t = t.withColumn("_hist", F.collect_list(value_col).over(w))
+    n = F.size("_hist")
+    s = F.aggregate("_hist", F.lit(0.0), lambda a, v: a + v)
+    ss = F.aggregate("_hist", F.lit(0.0), lambda a, v: a + v * v)
+    mean = F.when(n > 0, s / n)
+    var = F.when(n > 1, (ss - n * mean * mean) / (n - 1))
+    std = F.when(var > 0, F.sqrt(var))
+    x = F.col(value_col)
+    z = F.when(std.isNotNull(), (x - mean) / std)
+    flag = F.when(z.isNotNull() & (n >= min_obs)
+                  & (F.abs(z) > F.lit(float(nsig))), F.lit(True)) \
+            .otherwise(F.lit(False))
+    return t.select("url", ts_col, x.alias(value_col),
+                    n.alias("n_window"), z.alias("zscore"),
+                    flag.alias("is_anomaly"))
+
+
+def seasonal_baseline(tier_df: DataFrame,
+                      value_col: str = "value_avg",
+                      ts_col: str = "bucket_start") -> DataFrame:
+    """Hour-of-day seasonal profile + residual per url.
+
+    ``baseline`` is the url's mean value at the same hour-of-day over
+    the whole retained window (current row included — the standard
+    seasonal-naive profile); ``residual = value - baseline`` is the
+    deseasonalised series an alert threshold should look at, and
+    ``n_profile`` says how much history backs the baseline.
+
+    One Exchange on (url, hour-of-day) — ≤ 24 profile cells per url,
+    so partitions stay balanced whatever the url skew; everything is
+    JVM window aggregation.  The profile mean is an exact left fold
+    over the bucket-ordered group (ewma policy) rather than a plain
+    ``avg`` so it is bit-reproducible across engines and parallelism
+    levels; the group is bounded by the retention window, so the
+    O(group) fold is a constant, not a scale axis.
+    """
+    hod = _hour_of_day(tier_df, ts_col)
+    t = (tier_df.where(F.col(value_col).isNotNull())
+         .withColumn("hod", hod))
+    w = (Window.partitionBy("url", "hod").orderBy(ts_col)
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    t = t.withColumn("_prof", F.collect_list(value_col).over(w))
+    n = F.size("_prof")
+    s = F.aggregate("_prof", F.lit(0.0), lambda a, v: a + v)
+    baseline = s / n
+    return t.select("url", ts_col, F.col(value_col),
+                    F.col("hod"),
+                    baseline.alias("baseline"),
+                    (F.col(value_col) - baseline).alias("residual"),
+                    n.cast("long").alias("n_profile"))
+
+
+def _hour_of_day(df: DataFrame, ts_col: str) -> Column:
+    """Hour-of-day 0-23 from either a timestamp column or an
+    epoch-seconds bucket column (both tier layouts appear in the
+    suite); resolved from the schema, not the values."""
+    dtype = dict(df.dtypes).get(ts_col, "")
+    if dtype.startswith("timestamp"):
+        return F.hour(F.col(ts_col))
+    return (F.pmod(F.col(ts_col).cast("long"), F.lit(86400)) / 3600) \
+        .cast("int")

@@ -1,0 +1,111 @@
+"""Anomaly operators: trailing z-score + seasonal baseline.
+
+Semantics pinned here (the oracle gate only proves cross-engine
+equality): the z-score frame EXCLUDES the current row, min_obs and
+flat-history rows carry NULL z / false flag, and the seasonal profile
+is the bucket-ordered exact-fold mean with hod derived from either a
+timestamp or an epoch-seconds column.
+"""
+
+import datetime as dt
+import math
+
+import pytest
+
+from pyrate_spark.operators.anomaly import anomaly_zscore, seasonal_baseline
+
+
+def _tier(spark, rows):
+    return spark.createDataFrame(rows, "url string, bucket_start long,"
+                                       " value_avg double")
+
+
+def test_zscore_excludes_current_row_and_flags_spike(spark):
+    # 8 calm points then a spike: history stats must not include the
+    # spike itself, so z = (100 - mean(calm)) / std(calm).
+    calm = [1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0]
+    rows = [("a", 3600 * i, v) for i, v in enumerate(calm)]
+    rows.append(("a", 3600 * 8, 100.0))
+    out = {r["bucket_start"]: r for r in
+           anomaly_zscore(_tier(spark, rows), window=24, nsig=3.0,
+                          min_obs=6, ts_col="bucket_start").collect()}
+    spike = out[3600 * 8]
+    mean = sum(calm) / len(calm)
+    var = sum((v - mean) ** 2 for v in calm) / (len(calm) - 1)
+    assert spike["n_window"] == 8
+    assert spike["zscore"] == pytest.approx(
+        (100.0 - mean) / math.sqrt(var), rel=1e-12)
+    assert spike["is_anomaly"] is True
+    # the spike is in later rows' history but its own row used calm only
+    assert all(not out[3600 * i]["is_anomaly"] for i in range(8))
+
+
+def test_zscore_min_obs_and_flat_history(spark):
+    # 3 history rows < min_obs=6 -> z computed but flag false;
+    # flat history (std 0) -> z NULL, flag false.
+    rows = [("a", 3600 * i, float(i)) for i in range(4)]
+    rows += [("b", 3600 * i, 5.0) for i in range(10)]
+    out = anomaly_zscore(_tier(spark, rows), window=24, nsig=0.1,
+                         min_obs=6, ts_col="bucket_start").collect()
+    by = {(r["url"], r["bucket_start"]): r for r in out}
+    short = by[("a", 3600 * 3)]
+    assert short["n_window"] == 3 and short["zscore"] is not None
+    assert short["is_anomaly"] is False
+    flat = by[("b", 3600 * 9)]
+    assert flat["zscore"] is None and flat["is_anomaly"] is False
+
+
+def test_zscore_window_caps_history(spark):
+    rows = [("a", 3600 * i, float(i % 7)) for i in range(40)]
+    out = anomaly_zscore(_tier(spark, rows), window=10,
+                         ts_col="bucket_start").collect()
+    assert max(r["n_window"] for r in out) == 10
+
+
+def test_zscore_rejects_bad_params(spark):
+    df = _tier(spark, [("a", 0, 1.0)])
+    with pytest.raises(ValueError):
+        anomaly_zscore(df, window=0)
+    with pytest.raises(ValueError):
+        anomaly_zscore(df, min_obs=1)
+
+
+def test_seasonal_baseline_epoch_and_timestamp_agree(spark):
+    # same series expressed as epoch seconds and as timestamps (UTC
+    # session tz) must yield identical profiles
+    rows = [("a", 86400 * d + 3600 * h, float(d + h))
+            for d in range(3) for h in range(4)]
+    epoch_out = {(r["url"], r["bucket_start"]): r for r in
+                 seasonal_baseline(_tier(spark, rows),
+                                   ts_col="bucket_start").collect()}
+    ts_rows = [(u, dt.datetime.fromtimestamp(s, dt.timezone.utc)
+                .replace(tzinfo=None), v) for u, s, v in rows]
+    tdf = spark.createDataFrame(
+        ts_rows, "url string, bucket_start timestamp, value_avg double")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        pytest.skip(f"session tz {tz}: hour() not comparable to epoch")
+    ts_out = seasonal_baseline(tdf, ts_col="bucket_start").collect()
+    for r in ts_out:
+        key = (r["url"], int(r["bucket_start"]
+                             .replace(tzinfo=dt.timezone.utc).timestamp()))
+        e = epoch_out[key]
+        assert r["hod"] == e["hod"]
+        assert r["baseline"] == pytest.approx(e["baseline"], abs=0)
+        assert r["n_profile"] == e["n_profile"]
+    # profile math: hod h over 3 days averages d+h for d in 0..2
+    for (u, s), r in epoch_out.items():
+        h = (s % 86400) // 3600
+        assert r["hod"] == h
+        assert r["n_profile"] == 3
+        assert r["baseline"] == pytest.approx(h + 1.0, rel=1e-12)
+        assert r["residual"] == pytest.approx(
+            r["value_avg"] - r["baseline"], rel=1e-12)
+
+
+def test_seasonal_baseline_skips_nulls(spark):
+    rows = [("a", 3600 * h, None if h % 2 else 2.0) for h in range(6)]
+    out = seasonal_baseline(_tier(spark, rows),
+                            ts_col="bucket_start").collect()
+    assert len(out) == 3
+    assert all(r["baseline"] == 2.0 and r["n_profile"] == 1 for r in out)
