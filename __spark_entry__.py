@@ -1085,6 +1085,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_profile"))
     q["seasonal_residual"] = q_seasonal_residual
 
+    def q_cusum_changepoint(spark, sf):
+        """Two-sided CUSUM level-shift statistics over the hourly
+        tier (new r5, tail). Standardisation stats and the running
+        recurrence are exact folds (ewma policy); DuckDB replays the
+        identical operation order via prefix list_reduce, so the
+        statistics and the flag are bit-equal with no tolerance."""
+        from pyrate_spark.operators.anomaly import cusum_changepoint
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5)))
+        c = cusum_changepoint(t, k=0.5, h=4.0)
+        return c.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.col("value_avg"),
+                        F.round("cusum_hi", 6).alias("cusum_hi"),
+                        F.round("cusum_lo", 6).alias("cusum_lo"),
+                        F.col("is_change"))
+    q["cusum_changepoint"] = q_cusum_changepoint
+
     def q_sessionize_30m(spark, sf):
         """Web-analytics sessionization (new r5, tail): Spark
         session_window vs the DuckDB gaps-and-islands replay. Pure
@@ -1392,12 +1409,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     straight to tail) PromQL counter semantics
     #                     and the exact-fold EWMA; both pure column
     #                     algebra over the in-window hourly tier
-    #   anomaly_zscore_hourly / seasonal_residual — (new in r5,
-    #                     registered straight to tail) trailing
-    #                     z-score flags (exact-fold frame stats) and
-    #                     the hour-of-day seasonal profile; both pure
-    #                     window algebra over the in-window hourly
-    #                     tier
+    #   anomaly_zscore_hourly / seasonal_residual / cusum_changepoint
+    #                     — (new in r5, registered straight to tail)
+    #                     trailing z-score flags (exact-fold frame
+    #                     stats), the hour-of-day seasonal profile,
+    #                     and the Page CUSUM level-shift detector;
+    #                     all pure window/fold algebra over the
+    #                     in-window hourly tier
     tail = ["frame_sample", "nn_downsample",
             "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
@@ -1408,7 +1426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "snapshot_merge_upsert", "counter_rate_hourly",
             "ewma_hourly", "sessionize_30m", "topk_hourly",
             "streaming_sessionize_30m",
-            "anomaly_zscore_hourly", "seasonal_residual"]
+            "anomaly_zscore_hourly", "seasonal_residual",
+            "cusum_changepoint"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1744,6 +1763,86 @@ def oracle_sql() -> dict[str, str]:
                    AS residual,
                p.n_profile
         FROM nn JOIN p ON nn.url = p.url AND nn.hod = p.hod
+    """
+
+    # CUSUM: mean/sigma via the exact list_prepend fold, z = 0.0 for
+    # sigma-less urls (outputs nulled), then the Page recurrence
+    # replayed per prefix; element init greatest(0, 0+z-k) equals
+    # Spark's first fold step bit-for-bit, combine keeps the same
+    # (acc + z) - k grouping
+    o["cusum_changepoint"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT url, bucket_unix,
+                     round({_thr.format(t=0.5)}, 5) AS value_avg FROM h),
+        nn AS (SELECT * FROM v WHERE value_avg IS NOT NULL),
+        g AS (SELECT url,
+                     list(value_avg ORDER BY bucket_unix) AS vs,
+                     list(bucket_unix ORDER BY bucket_unix) AS ts
+              FROM nn GROUP BY url),
+        st AS (SELECT url, vs, ts, len(vs) AS n,
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+                                  (a, x) -> a + x) AS s1,
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list_transform(vs, x -> x * x)),
+                                  (a, x) -> a + x) AS s2
+               FROM g),
+        m AS (SELECT url, vs, ts, n, s1 / n AS mean, s2 FROM st),
+        d AS (SELECT url, vs, ts, n, mean,
+                     CASE WHEN n > 1
+                          THEN (s2 - n * mean * mean) / (n - 1)
+                          END AS var FROM m),
+        e AS (SELECT url, vs, ts, mean,
+                     CASE WHEN var > 0 THEN sqrt(var) END AS sigma
+              FROM d),
+        z AS (SELECT url, vs, ts, sigma,
+                     list_transform(vs, x ->
+                         CASE WHEN sigma IS NULL THEN CAST(0.0 AS DOUBLE)
+                              ELSE (x - mean) / sigma END) AS zs
+              FROM e),
+        r AS (SELECT url, vs, ts, sigma,
+                     list_transform(range(1, len(zs) + 1), i ->
+                         struct_extract(list_reduce(
+                             list_transform(zs[1:i], zz -> {{'hi':
+                                 greatest(CAST(0.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE) + zz - 0.5),
+                                 'lo': greatest(CAST(0.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE) - zz - 0.5),
+                                 'z': zz}}),
+                             (a, b) -> {{'hi':
+                                 greatest(CAST(0.0 AS DOUBLE),
+                                          a.hi + b.z - 0.5),
+                                 'lo': greatest(CAST(0.0 AS DOUBLE),
+                                          a.lo - b.z - 0.5),
+                                 'z': b.z}}), 'hi')) AS his,
+                     list_transform(range(1, len(zs) + 1), i ->
+                         struct_extract(list_reduce(
+                             list_transform(zs[1:i], zz -> {{'hi':
+                                 greatest(CAST(0.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE) + zz - 0.5),
+                                 'lo': greatest(CAST(0.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE) - zz - 0.5),
+                                 'z': zz}}),
+                             (a, b) -> {{'hi':
+                                 greatest(CAST(0.0 AS DOUBLE),
+                                          a.hi + b.z - 0.5),
+                                 'lo': greatest(CAST(0.0 AS DOUBLE),
+                                          a.lo - b.z - 0.5),
+                                 'z': b.z}}), 'lo')) AS los
+              FROM z),
+        u AS (SELECT url, sigma,
+                     unnest(ts) AS bucket_unix,
+                     unnest(vs) AS value_avg,
+                     unnest(his) AS hi,
+                     unnest(los) AS lo
+              FROM r)
+        SELECT url, bucket_unix, value_avg,
+               CASE WHEN sigma IS NULL THEN NULL
+                    ELSE round(hi, 6) END AS cusum_hi,
+               CASE WHEN sigma IS NULL THEN NULL
+                    ELSE round(lo, 6) END AS cusum_lo,
+               CASE WHEN sigma IS NOT NULL AND (hi > 4.0 OR lo > 4.0)
+                    THEN TRUE ELSE FALSE END AS is_change
+        FROM u
     """
 
     # sessionization: gaps-and-islands replay of session_window —

@@ -103,6 +103,84 @@ def seasonal_baseline(tier_df: DataFrame,
                     n.cast("long").alias("n_profile"))
 
 
+def cusum_changepoint(tier_df: DataFrame, k: float = 0.5,
+                      h: float = 5.0, value_col: str = "value_avg",
+                      ts_col: str = "bucket_start") -> DataFrame:
+    """Two-sided CUSUM level-shift detector per url (Page 1954 —
+    public textbook form): on the standardised series
+    ``z = (x - mean) / sigma``,
+
+        hi_t = max(0, hi_{t-1} + z_t - k)
+        lo_t = max(0, lo_{t-1} - z_t - k)
+
+    and a change is flagged while either statistic exceeds ``h``
+    (``k``/``h`` in sigma units — the usual 0.5 / 4-5).  The z-score
+    operator above asks "is this point far from RECENT history"; CUSUM
+    asks the complementary question "has the LEVEL drifted", which
+    single-point thresholds structurally miss for slow shifts.
+
+    Implementation is the ``ewma_tier`` exact-fold pattern: one
+    sorted per-url series list (bounded by the tier retention window),
+    mean/sigma as exact left folds over it, then one O(n) running
+    fold that appends each (hi, lo) state — all JVM column algebra,
+    one shuffle on url, bit-reproducible across engines and
+    parallelism.  Urls whose sigma is undefined (n < 2 or flat)
+    emit NULL statistics and ``is_change = false``.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if h <= 0:
+        raise ValueError(f"h must be > 0, got {h}")
+    obs = (tier_df.where(F.col(value_col).isNotNull())
+           .groupBy("url")
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(ts_col).alias("t"),
+               F.col(value_col).alias("v")))).alias("_series")))
+    n = F.size("_series")
+    s = F.aggregate("_series", F.lit(0.0), lambda a, x: a + x["v"])
+    ss = F.aggregate("_series", F.lit(0.0),
+                     lambda a, x: a + x["v"] * x["v"])
+    mean = s / n
+    var = F.when(n > 1, (ss - n * mean * mean) / (n - 1))
+    sigma = F.when(var > 0, F.sqrt(var))
+    obs = (obs.withColumn("_mean", mean)
+              .withColumn("_sigma", sigma))
+    # z folds as 0.0 for sigma-less urls so the fold stays total; the
+    # outputs for those urls are nulled in the final select
+    kk, hh = repr(float(k)), repr(float(h))
+    step_hi = (f"greatest(CAST(0.0 AS DOUBLE), acc.hi + (CASE WHEN "
+               f"_sigma IS NULL THEN CAST(0.0 AS DOUBLE) ELSE "
+               f"(x.v - _mean) / _sigma END) - {kk}D)")
+    step_lo = (f"greatest(CAST(0.0 AS DOUBLE), acc.lo - (CASE WHEN "
+               f"_sigma IS NULL THEN CAST(0.0 AS DOUBLE) ELSE "
+               f"(x.v - _mean) / _sigma END) - {kk}D)")
+    cu = F.expr(f"""
+        aggregate(
+            _series,
+            struct(CAST(0.0 AS DOUBLE) AS hi, CAST(0.0 AS DOUBLE) AS lo,
+                   CAST(array() AS ARRAY<STRUCT<hi: DOUBLE, lo: DOUBLE>>)
+                       AS out),
+            (acc, x) -> struct(
+                {step_hi} AS hi,
+                {step_lo} AS lo,
+                array_append(acc.out,
+                    struct({step_hi} AS hi, {step_lo} AS lo)) AS out),
+            acc -> acc.out)
+    """)
+    ok = F.col("_sigma").isNotNull()
+    return (obs.withColumn("_cu", cu)
+            .select("url", "_sigma",
+                    F.expr("inline(arrays_zip(_series, _cu))"))
+            .select("url", F.col("_series.t").alias(ts_col),
+                    F.col("_series.v").alias(value_col),
+                    F.when(ok, F.col("_cu.hi")).alias("cusum_hi"),
+                    F.when(ok, F.col("_cu.lo")).alias("cusum_lo"),
+                    F.when(ok & ((F.col("_cu.hi") > F.lit(float(h)))
+                                 | (F.col("_cu.lo") > F.lit(float(h)))),
+                           F.lit(True)).otherwise(F.lit(False))
+                    .alias("is_change")))
+
+
 def _hour_of_day(df: DataFrame, ts_col: str) -> Column:
     """Hour-of-day 0-23 from either a timestamp column or an
     epoch-seconds bucket column (both tier layouts appear in the

@@ -12,7 +12,9 @@ import math
 
 import pytest
 
-from pyrate_spark.operators.anomaly import anomaly_zscore, seasonal_baseline
+from pyrate_spark.operators.anomaly import (anomaly_zscore,
+                                            cusum_changepoint,
+                                            seasonal_baseline)
 
 
 def _tier(spark, rows):
@@ -101,6 +103,51 @@ def test_seasonal_baseline_epoch_and_timestamp_agree(spark):
         assert r["baseline"] == pytest.approx(h + 1.0, rel=1e-12)
         assert r["residual"] == pytest.approx(
             r["value_avg"] - r["baseline"], rel=1e-12)
+
+
+def test_cusum_detects_level_shift(spark):
+    # 12 calm points then the level jumps by ~2 global sigma: the hi
+    # statistic must accumulate past h after the shift while no point
+    # alone is extreme (deterministic noise keeps sigma > 0).
+    noise = [0.1, -0.2, 0.05, -0.1]
+    rows = [("a", 3600 * i, (0.0 if i < 12 else 3.0) + noise[i % 4])
+            for i in range(20)]
+    out = sorted(cusum_changepoint(_tier(spark, rows), k=0.5, h=4.0,
+                                   ts_col="bucket_start").collect(),
+                 key=lambda r: r["bucket_start"])
+    flagged = [r["bucket_start"] // 3600 for r in out if r["is_change"]]
+    assert flagged and min(flagged) >= 12  # fires after, never before
+    # replay the recurrence in python on the standardised series
+    vals = [v for _, _, v in rows]
+    mean = sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)
+    sd = math.sqrt(var)
+    hi = lo = 0.0
+    for r, v in zip(out, vals):
+        z = (v - mean) / sd
+        hi = max(0.0, hi + z - 0.5)
+        lo = max(0.0, lo - z - 0.5)
+        assert r["cusum_hi"] == pytest.approx(hi, rel=1e-12, abs=1e-15)
+        assert r["cusum_lo"] == pytest.approx(lo, rel=1e-12, abs=1e-15)
+        assert r["is_change"] is (hi > 4.0 or lo > 4.0)
+
+
+def test_cusum_flat_and_short_series_null(spark):
+    rows = [("flat", 3600 * i, 7.0) for i in range(6)]
+    rows.append(("single", 0, 1.0))
+    out = cusum_changepoint(_tier(spark, rows),
+                            ts_col="bucket_start").collect()
+    assert len(out) == 7
+    assert all(r["cusum_hi"] is None and r["cusum_lo"] is None
+               and r["is_change"] is False for r in out)
+
+
+def test_cusum_rejects_bad_params(spark):
+    df = _tier(spark, [("a", 0, 1.0)])
+    with pytest.raises(ValueError):
+        cusum_changepoint(df, k=-0.1)
+    with pytest.raises(ValueError):
+        cusum_changepoint(df, h=0.0)
 
 
 def test_seasonal_baseline_skips_nulls(spark):
