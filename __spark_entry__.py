@@ -1102,6 +1102,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("is_change"))
     q["cusum_changepoint"] = q_cusum_changepoint
 
+    def q_holt_forecast(spark, sf):
+        """Holt linear-trend smoothing + one-step forecast over the
+        hourly tier (new r5, tail). Exact-fold recurrence (ewma
+        policy) replayed by DuckDB prefix list_reduce — bit-equal,
+        rounded only for the hash."""
+        from pyrate_spark.operators.anomaly import holt_forecast
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5)))
+        hf = holt_forecast(t, alpha=0.5, beta=0.3)
+
+        # identical-arithmetic rounding (floor(x*1e6 + 0.5)/1e6 on
+        # BOTH sides): engine-native round() implementations disagree
+        # on exact half boundaries even for bit-equal inputs
+        def r6(c):
+            return F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6
+        return hf.select("url", _u("bucket_start").alias("bucket_unix"),
+                         F.col("value_avg"),
+                         r6("level").alias("level"),
+                         r6("trend").alias("trend"),
+                         r6("forecast").alias("forecast"),
+                         r6("forecast_error").alias("forecast_error"))
+    q["holt_forecast"] = q_holt_forecast
+
     def q_sessionize_30m(spark, sf):
         """Web-analytics sessionization (new r5, tail): Spark
         session_window vs the DuckDB gaps-and-islands replay. Pure
@@ -1413,9 +1436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     — (new in r5, registered straight to tail)
     #                     trailing z-score flags (exact-fold frame
     #                     stats), the hour-of-day seasonal profile,
-    #                     and the Page CUSUM level-shift detector;
-    #                     all pure window/fold algebra over the
-    #                     in-window hourly tier
+    #                     the Page CUSUM level-shift detector, and
+    #                     Holt linear-trend forecasting; all pure
+    #                     window/fold algebra over the in-window
+    #                     hourly tier
     tail = ["frame_sample", "nn_downsample",
             "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
@@ -1427,7 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ewma_hourly", "sessionize_30m", "topk_hourly",
             "streaming_sessionize_30m",
             "anomaly_zscore_hourly", "seasonal_residual",
-            "cusum_changepoint"]
+            "cusum_changepoint", "holt_forecast"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1843,6 +1867,43 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN sigma IS NOT NULL AND (hi > 4.0 OR lo > 4.0)
                     THEN TRUE ELSE FALSE END AS is_change
         FROM u
+    """
+
+    # Holt: recursive-CTE replay of the level/trend recurrence, one
+    # recursion step per bucket rank. NOT list_reduce: DuckDB's
+    # struct-accumulator lambda updates fields in declaration order,
+    # so a later field reading a same-named accumulator field sees
+    # the NEW value (verified on a toy series) — the recursive join
+    # has standard previous-row semantics instead. Expression
+    # grouping mirrors Spark's fold verbatim, so values are bit-equal
+    o["holt_forecast"] = f"""
+        WITH RECURSIVE h AS ({_HOURLY_SQL}),
+        v AS (SELECT url, bucket_unix,
+                     round({_thr.format(t=0.5)}, 5) AS value_avg FROM h),
+        nn AS (SELECT url, bucket_unix, value_avg,
+                      row_number() OVER (PARTITION BY url
+                                         ORDER BY bucket_unix) AS rn
+               FROM v WHERE value_avg IS NOT NULL),
+        seq AS (
+            SELECT url, rn, bucket_unix, value_avg,
+                   value_avg AS l, CAST(0.0 AS DOUBLE) AS b,
+                   CAST(NULL AS DOUBLE) AS f
+            FROM nn WHERE rn = 1
+            UNION ALL
+            SELECT n.url, n.rn, n.bucket_unix, n.value_avg,
+                   0.5 * n.value_avg + 0.5 * (s.l + s.b) AS l,
+                   0.3 * ((0.5 * n.value_avg + 0.5 * (s.l + s.b))
+                          - s.l) + 0.7 * s.b AS b,
+                   s.l + s.b AS f
+            FROM seq s JOIN nn n
+              ON n.url = s.url AND n.rn = s.rn + 1)
+        SELECT url, bucket_unix, value_avg,
+               floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+               floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend,
+               floor(f * 1000000.0 + 0.5) / 1000000.0 AS forecast,
+               floor((value_avg - f) * 1000000.0 + 0.5) / 1000000.0
+                   AS forecast_error
+        FROM seq
     """
 
     # sessionization: gaps-and-islands replay of session_window —

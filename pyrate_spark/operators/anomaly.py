@@ -181,6 +181,76 @@ def cusum_changepoint(tier_df: DataFrame, k: float = 0.5,
                     .alias("is_change")))
 
 
+def holt_forecast(tier_df: DataFrame, alpha: float = 0.5,
+                  beta: float = 0.3, value_col: str = "value_avg",
+                  ts_col: str = "bucket_start") -> DataFrame:
+    """Holt linear-trend exponential smoothing per url (public
+    textbook form; Holt 1957):
+
+        f_t = l_{t-1} + b_{t-1}            (one-step-ahead forecast)
+        l_t = alpha * x_t + (1-alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta * (l_t - l_{t-1}) + (1-beta) * b_{t-1}
+
+    initialised ``l_0 = x_0, b_0 = 0`` (f_0 undefined → NULL).  The
+    trend-aware upgrade of ``ewma_tier``: EWMA lags a trending series
+    by design; Holt tracks it, and the emitted per-row forecast error
+    ``x_t - f_t`` is the standard residual an alerting rule consumes
+    (forecast-based anomaly detection — the third member of the
+    family after the z-score and CUSUM).
+
+    Same execution shape as the other exact folds: one shuffle on
+    url, one O(n) running struct fold in JVM column algebra, state
+    bounded by the tier retention window, bit-reproducible operation
+    order.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not (0.0 <= beta <= 1.0):
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    obs = (tier_df.where(F.col(value_col).isNotNull())
+           .groupBy("url")
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(ts_col).alias("t"),
+               F.col(value_col).alias("v")))).alias("_series")))
+    a, bb = repr(float(alpha)), repr(float(beta))
+    # each struct field re-derives from acc (the PREVIOUS state), so
+    # the textual duplication below is the same-binding pattern the
+    # ewma/CUSUM folds use; grouping is pinned to match the oracle
+    f_new = "(acc.l + acc.b)"
+    l_new = f"({a}D * x.v + {1.0 - float(alpha)!r}D * (acc.l + acc.b))"
+    b_new = (f"({bb}D * ({l_new} - acc.l) "
+             f"+ {1.0 - float(beta)!r}D * acc.b)")
+    ho = F.expr(f"""
+        aggregate(
+            _series,
+            struct(CAST(NULL AS DOUBLE) AS l, CAST(NULL AS DOUBLE) AS b,
+                   CAST(array() AS
+                        ARRAY<STRUCT<l: DOUBLE, b: DOUBLE, f: DOUBLE>>)
+                       AS out),
+            (acc, x) -> struct(
+                CASE WHEN acc.l IS NULL THEN x.v ELSE {l_new} END AS l,
+                CASE WHEN acc.l IS NULL THEN CAST(0.0 AS DOUBLE)
+                     ELSE {b_new} END AS b,
+                array_append(acc.out, struct(
+                    CASE WHEN acc.l IS NULL THEN x.v
+                         ELSE {l_new} END AS l,
+                    CASE WHEN acc.l IS NULL THEN CAST(0.0 AS DOUBLE)
+                         ELSE {b_new} END AS b,
+                    CASE WHEN acc.l IS NULL THEN CAST(NULL AS DOUBLE)
+                         ELSE {f_new} END AS f)) AS out),
+            acc -> acc.out)
+    """)
+    return (obs.withColumn("_ho", ho)
+            .select("url", F.expr("inline(arrays_zip(_series, _ho))"))
+            .select("url", F.col("_series.t").alias(ts_col),
+                    F.col("_series.v").alias(value_col),
+                    F.col("_ho.l").alias("level"),
+                    F.col("_ho.b").alias("trend"),
+                    F.col("_ho.f").alias("forecast"),
+                    (F.col("_series.v") - F.col("_ho.f"))
+                    .alias("forecast_error")))
+
+
 def _hour_of_day(df: DataFrame, ts_col: str) -> Column:
     """Hour-of-day 0-23 from either a timestamp column or an
     epoch-seconds bucket column (both tier layouts appear in the

@@ -14,6 +14,7 @@ import pytest
 
 from pyrate_spark.operators.anomaly import (anomaly_zscore,
                                             cusum_changepoint,
+                                            holt_forecast,
                                             seasonal_baseline)
 
 
@@ -148,6 +149,43 @@ def test_cusum_rejects_bad_params(spark):
         cusum_changepoint(df, k=-0.1)
     with pytest.raises(ValueError):
         cusum_changepoint(df, h=0.0)
+
+
+def test_holt_tracks_linear_trend(spark):
+    # a pure linear ramp: level converges onto the ramp and the
+    # one-step forecast error shrinks toward 0 (EWMA would lag by a
+    # constant); verify against the python recurrence exactly.
+    rows = [("a", 3600 * i, 2.0 * i + 1.0) for i in range(30)]
+    out = sorted(holt_forecast(_tier(spark, rows), alpha=0.5, beta=0.3,
+                               ts_col="bucket_start").collect(),
+                 key=lambda r: r["bucket_start"])
+    level = trend = None
+    for r, (_, _, x) in zip(out, rows):
+        if level is None:
+            level, trend, fc = x, 0.0, None
+        else:
+            fc = level + trend
+            new_l = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.3 * (new_l - level) + 0.7 * trend
+            level = new_l
+        assert r["level"] == pytest.approx(level, rel=1e-12)
+        assert r["trend"] == pytest.approx(trend, rel=1e-12)
+        if fc is None:
+            assert r["forecast"] is None and r["forecast_error"] is None
+        else:
+            assert r["forecast"] == pytest.approx(fc, rel=1e-12)
+            assert r["forecast_error"] == pytest.approx(x - fc,
+                                                        rel=1e-9,
+                                                        abs=1e-9)
+    assert abs(out[-1]["forecast_error"]) < abs(out[2]["forecast_error"])
+
+
+def test_holt_rejects_bad_params(spark):
+    df = _tier(spark, [("a", 0, 1.0)])
+    with pytest.raises(ValueError):
+        holt_forecast(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        holt_forecast(df, beta=1.5)
 
 
 def test_seasonal_baseline_skips_nulls(spark):
