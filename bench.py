@@ -284,6 +284,24 @@ def main():
             n_rows / max(timings["asof_enrich"], 1e-9))
         hourly3.unpersist()
 
+    # ---- anomaly family: three exact-fold passes over the hourly
+    # tier (z-score window, CUSUM, Holt) timed as one suite ----
+    if _want("anomaly_suite"):
+        from pyrate_spark.operators.anomaly import (anomaly_zscore,
+                                                    cusum_changepoint,
+                                                    holt_forecast)
+        ht = (tier_rollup(series, "1 hour", thresh=0.5)
+              .where(F.col("value_avg").isNotNull())
+              .select("url", "bucket_start", "value_avg").persist())
+        n_ht = ht.count()                   # fill cache, untimed
+        timed("anomaly_suite",
+              lambda: (anomaly_zscore(ht, window=24, nsig=2.0).count()
+                       + cusum_changepoint(ht, k=0.5, h=4.0).count()
+                       + holt_forecast(ht, alpha=0.5, beta=0.3).count()))
+        meta["anomaly_rows_per_sec"] = round(
+            3 * n_ht / max(timings["anomaly_suite"], 1e-9))
+        ht.unpersist()
+
     series.unpersist()
 
     # ---- driver tables ----
