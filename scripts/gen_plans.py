@@ -226,6 +226,22 @@ add("Counter delta/rate + EWMA fold",
     "stays inside WholeStageCodegen, no Python anywhere.",
     ewma_tier(tier_rollup(series, "1 hour", thresh=0.5), alpha=0.3))
 
+from pyrate_spark.operators.anomaly import (anomaly_zscore,
+                                            cusum_changepoint,
+                                            holt_forecast)
+add("Trailing z-score anomaly flags (r5)",
+    "ONE Exchange on url feeding a rows-frame Window; frame stats are "
+    "aggregate() folds over the collected history — whole-stage "
+    "codegen, no Python, no global sort; url is the unbounded "
+    "shardable key, the 24-row frame a constant.",
+    anomaly_zscore(tier_rollup(series, "1 hour", thresh=0.5),
+                   window=24, nsig=2.0))
+add("CUSUM + Holt exact folds (r5)",
+    "Same shape as the EWMA fold: groupBy url, sort_array'd series, "
+    "one O(n) aggregate() running fold, inline(arrays_zip) back to "
+    "rows. Per-url state bounded by the tier retention window.",
+    holt_forecast(tier_rollup(series, "1 hour", thresh=0.5)))
+
 out = ["# PLANS — physical-plan audit of the core operators",
        "",
        "Generated by scripts/gen_plans.py (`df.explain('formatted')` on",
