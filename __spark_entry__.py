@@ -1226,6 +1226,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("value_cuml", 5).alias("value_cuml"))
     q["streaming_cumsum"] = q_streaming_cumsum
 
+    def q_streaming_cusum(spark, sf):
+        """Stateful CUSUM twin (fixed reference mean=60 sigma=30):
+        one availableNow batch == the batch target-mode operator ==
+        the DuckDB prefix replay, bit-for-bit."""
+        from pyrate_spark.streaming.corrections import streaming_cusum
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5))
+             .where(F.col("value_avg").isNotNull())
+             .select("url", "bucket_start", "value_avg"))
+        out = _run_stateful_once(
+            spark, t,
+            lambda s: streaming_cusum(s, mean=60.0, sigma=30.0,
+                                      k=0.5, h=4.0),
+            "url string, bucket_start timestamp, value_avg double")
+        return out.select("url", _u("bucket_start").alias("bucket_unix"),
+                          F.col("value_avg"),
+                          F.round("cusum_hi", 6).alias("cusum_hi"),
+                          F.round("cusum_lo", 6).alias("cusum_lo"),
+                          F.col("is_change"))
+    q["streaming_cusum"] = q_streaming_cusum
+
     def q_quicklook_classmap(spark, sf):
         """S9 quicklook colour maths (merge.py:195-231): per-url mean
         rate, symmetric blue-white-red 255-entry relief, nearest-entry
@@ -1440,6 +1461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     Holt linear-trend forecasting; all pure
     #                     window/fold algebra over the in-window
     #                     hourly tier
+    #   streaming_cusum — (new in r5, registered straight to tail)
+    #                     stateful one-pass CUSUM twin with a fixed
+    #                     (mean, sigma) reference; two-double per-url
+    #                     state, bit-equal to batch target mode
     tail = ["frame_sample", "nn_downsample",
             "streaming_gapfill_locf", "streaming_cumsum",
             "dedup_jaccard", "dedup_cosine", "knn_bruteforce",
@@ -1451,7 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ewma_hourly", "sessionize_30m", "topk_hourly",
             "streaming_sessionize_30m",
             "anomaly_zscore_hourly", "seasonal_residual",
-            "cusum_changepoint", "holt_forecast"]
+            "cusum_changepoint", "holt_forecast", "streaming_cusum"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1865,6 +1890,65 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN sigma IS NULL THEN NULL
                     ELSE round(lo, 6) END AS cusum_lo,
                CASE WHEN sigma IS NOT NULL AND (hi > 4.0 OR lo > 4.0)
+                    THEN TRUE ELSE FALSE END AS is_change
+        FROM u
+    """
+
+    # streaming CUSUM: fixed-reference replay (mean=60 sigma=30, so
+    # no estimation CTEs); field order keeps every accumulator read
+    # ahead of its overwrite (see the batch cusum note)
+    o["streaming_cusum"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT url, bucket_unix,
+                     round({_thr.format(t=0.5)}, 5) AS value_avg FROM h),
+        nn AS (SELECT * FROM v WHERE value_avg IS NOT NULL),
+        g AS (SELECT url,
+                     list(value_avg ORDER BY bucket_unix) AS vs,
+                     list(bucket_unix ORDER BY bucket_unix) AS ts
+              FROM nn GROUP BY url),
+        z AS (SELECT url, vs, ts,
+                     list_transform(vs, x -> (x - 60.0) / 30.0) AS zs
+              FROM g),
+        r AS (SELECT url, vs, ts,
+                     list_transform(range(1, len(zs) + 1), i ->
+                         struct_extract(list_reduce(
+                             list_transform(zs[1:i], zz -> {{'hi':
+                                 greatest(CAST(0.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE) + zz - 0.5),
+                                 'lo': greatest(CAST(0.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE) - zz - 0.5),
+                                 'z': zz}}),
+                             (a, b) -> {{'hi':
+                                 greatest(CAST(0.0 AS DOUBLE),
+                                          a.hi + b.z - 0.5),
+                                 'lo': greatest(CAST(0.0 AS DOUBLE),
+                                          a.lo - b.z - 0.5),
+                                 'z': b.z}}), 'hi')) AS his,
+                     list_transform(range(1, len(zs) + 1), i ->
+                         struct_extract(list_reduce(
+                             list_transform(zs[1:i], zz -> {{'hi':
+                                 greatest(CAST(0.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE) + zz - 0.5),
+                                 'lo': greatest(CAST(0.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE) - zz - 0.5),
+                                 'z': zz}}),
+                             (a, b) -> {{'hi':
+                                 greatest(CAST(0.0 AS DOUBLE),
+                                          a.hi + b.z - 0.5),
+                                 'lo': greatest(CAST(0.0 AS DOUBLE),
+                                          a.lo - b.z - 0.5),
+                                 'z': b.z}}), 'lo')) AS los
+              FROM z),
+        u AS (SELECT url,
+                     unnest(ts) AS bucket_unix,
+                     unnest(vs) AS value_avg,
+                     unnest(his) AS hi,
+                     unnest(los) AS lo
+              FROM r)
+        SELECT url, bucket_unix, value_avg,
+               round(hi, 6) AS cusum_hi,
+               round(lo, 6) AS cusum_lo,
+               CASE WHEN hi > 4.0 OR lo > 4.0
                     THEN TRUE ELSE FALSE END AS is_change
         FROM u
     """

@@ -105,7 +105,8 @@ def seasonal_baseline(tier_df: DataFrame,
 
 def cusum_changepoint(tier_df: DataFrame, k: float = 0.5,
                       h: float = 5.0, value_col: str = "value_avg",
-                      ts_col: str = "bucket_start") -> DataFrame:
+                      ts_col: str = "bucket_start",
+                      target: tuple | None = None) -> DataFrame:
     """Two-sided CUSUM level-shift detector per url (Page 1954 —
     public textbook form): on the standardised series
     ``z = (x - mean) / sigma``,
@@ -126,25 +127,36 @@ def cusum_changepoint(tier_df: DataFrame, k: float = 0.5,
     one shuffle on url, bit-reproducible across engines and
     parallelism.  Urls whose sigma is undefined (n < 2 or flat)
     emit NULL statistics and ``is_change = false``.
+
+    ``target=(mean, sigma)`` pins the standardisation to a known
+    reference instead of estimating it from the series — the form a
+    STREAMING detector must use (one pass, no lookahead), and what
+    ``streaming/corrections.streaming_cusum`` is gated against.
     """
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     if h <= 0:
         raise ValueError(f"h must be > 0, got {h}")
+    if target is not None and not float(target[1]) > 0:
+        raise ValueError(f"target sigma must be > 0, got {target[1]}")
     obs = (tier_df.where(F.col(value_col).isNotNull())
            .groupBy("url")
            .agg(F.sort_array(F.collect_list(F.struct(
                F.col(ts_col).alias("t"),
                F.col(value_col).alias("v")))).alias("_series")))
-    n = F.size("_series")
-    s = F.aggregate("_series", F.lit(0.0), lambda a, x: a + x["v"])
-    ss = F.aggregate("_series", F.lit(0.0),
-                     lambda a, x: a + x["v"] * x["v"])
-    mean = s / n
-    var = F.when(n > 1, (ss - n * mean * mean) / (n - 1))
-    sigma = F.when(var > 0, F.sqrt(var))
-    obs = (obs.withColumn("_mean", mean)
-              .withColumn("_sigma", sigma))
+    if target is not None:
+        obs = (obs.withColumn("_mean", F.lit(float(target[0])))
+                  .withColumn("_sigma", F.lit(float(target[1]))))
+    else:
+        n = F.size("_series")
+        s = F.aggregate("_series", F.lit(0.0), lambda a, x: a + x["v"])
+        ss = F.aggregate("_series", F.lit(0.0),
+                         lambda a, x: a + x["v"] * x["v"])
+        mean = s / n
+        var = F.when(n > 1, (ss - n * mean * mean) / (n - 1))
+        sigma = F.when(var > 0, F.sqrt(var))
+        obs = (obs.withColumn("_mean", mean)
+                  .withColumn("_sigma", sigma))
     # z folds as 0.0 for sigma-less urls so the fold stays total; the
     # outputs for those urls are nulled in the final select
     kk, hh = repr(float(k)), repr(float(h))

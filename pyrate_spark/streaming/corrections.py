@@ -69,6 +69,62 @@ def streaming_cumsum(tier_stream: DataFrame) -> DataFrame:
                 "append", GroupStateTimeout.NoTimeout))
 
 
+CUSUM_OUT = ("url string, bucket_start timestamp, value_avg double, "
+             "cusum_hi double, cusum_lo double, is_change boolean")
+CUSUM_STATE = "hi double, lo double"
+
+
+def _cusum_fn(mean: float, sigma: float, k: float, h: float):
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        url = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("bucket_start", kind="stable")
+        v = rows["value_avg"].to_numpy(dtype=np.float64)
+        hi, lo = state.get if state.exists else (0.0, 0.0)
+        his, los = [], []
+        # plain python floats: IEEE doubles with the SAME (hi + z) - k
+        # grouping as the batch fold, so rows are bit-identical
+        for x in v.tolist():
+            z = (x - mean) / sigma
+            hi = max(0.0, hi + z - k)
+            lo = max(0.0, lo - z - k)
+            his.append(hi)
+            los.append(lo)
+        state.update((hi, lo))
+        hi_a = np.asarray(his, dtype=np.float64)
+        lo_a = np.asarray(los, dtype=np.float64)
+        yield pd.DataFrame({
+            "url": url,
+            "bucket_start": rows["bucket_start"].to_numpy(),
+            "value_avg": v,
+            "cusum_hi": hi_a,
+            "cusum_lo": lo_a,
+            "is_change": (hi_a > h) | (lo_a > h)})
+    return fn
+
+
+def streaming_cusum(tier_stream: DataFrame, mean: float, sigma: float,
+                    k: float = 0.5, h: float = 4.0) -> DataFrame:
+    """Streaming Page CUSUM against a FIXED reference (mean, sigma) —
+    the one-pass form of ``operators/anomaly.cusum_changepoint(...,
+    target=(mean, sigma))``: per-url state is just the (hi, lo) pair,
+    carried across micro-batches, so an in-order availableNow pass
+    reproduces the batch operator row-for-row (bit-identical — same
+    operation grouping). Unbounded url cardinality costs two doubles
+    per url of state; no watermark needed because the statistic is
+    cumulative, not windowed."""
+    if not sigma > 0:
+        raise ValueError(f"sigma must be > 0, got {sigma}")
+    return (tier_stream
+            .groupBy("url")
+            .applyInPandasWithState(
+                _cusum_fn(float(mean), float(sigma), float(k), float(h)),
+                CUSUM_OUT, CUSUM_STATE,
+                "append", GroupStateTimeout.NoTimeout))
+
+
 def run_correct_stream(series_stream: DataFrame, out_path: str,
                        checkpoint_path: str,
                        cfg: EngineConfig = DEFAULT,

@@ -201,6 +201,57 @@ def test_streaming_cumsum_matches_batch(spark, tmp_path):
     assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
 
 
+def test_streaming_cusum_matches_batch_target(spark, tmp_path):
+    """Stateful CUSUM with a fixed (mean, sigma) reference carried
+    across TWO availableNow passes == the batch operator in target
+    mode on the concatenated data, bit-for-bit."""
+    from pyrate_spark.operators.anomaly import cusum_changepoint
+    from pyrate_spark.streaming.corrections import streaming_cusum
+    import numpy as np
+
+    src = str(tmp_path / "cpsrc")
+    out = str(tmp_path / "cpout")
+    ckpt = str(tmp_path / "cpckpt")
+    # url a drifts up mid-stream (split across the two passes), b calm
+    b1 = _tier_rows([("a", k, 10.0 + 0.1 * (k % 3)) for k in range(6)]
+                    + [("b", k, 10.0 + 0.05 * k) for k in range(4)])
+    b2 = _tier_rows([("a", 6 + k, 14.0 + 0.1 * (k % 3))
+                     for k in range(6)]
+                    + [("b", 4 + k, 10.2) for k in range(3)])
+
+    def run(rows):
+        spark.createDataFrame(rows, TIER_DDL).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(TIER_DDL)
+                  .option("maxFilesPerTrigger", "8").parquet(src))
+        q = (streaming_cusum(stream, mean=10.0, sigma=1.0, k=0.5, h=4.0)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run(b1)
+    run(b2)
+    cols = ["url", "bucket_start", "cusum_hi", "cusum_lo", "is_change"]
+    got = (spark.read.parquet(out).orderBy("url", "bucket_start")
+           .select(*cols).toPandas())
+    want = (cusum_changepoint(spark.createDataFrame(b1 + b2, TIER_DDL),
+                              k=0.5, h=4.0, target=(10.0, 1.0))
+            .orderBy("url", "bucket_start").select(*cols).toPandas())
+    assert got["url"].tolist() == want["url"].tolist()
+    for c in ("cusum_hi", "cusum_lo"):
+        assert (got[c].to_numpy(dtype=float)
+                == want[c].to_numpy(dtype=float)).all()
+    assert got["is_change"].tolist() == want["is_change"].tolist()
+    assert bool(got["is_change"].any())  # the drift actually fires
+
+
+def test_streaming_cusum_rejects_bad_sigma(spark):
+    from pyrate_spark.streaming.corrections import streaming_cusum
+    with pytest.raises(ValueError):
+        streaming_cusum(None, mean=0.0, sigma=0.0)
+
+
 def test_foreachbatch_corrections_equals_batch(spark, tmp_path):
     """run_correct_stream(foreachBatch) on a single micro-batch ==
     run_correct on the same frame."""
