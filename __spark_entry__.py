@@ -1125,6 +1125,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          r6("forecast_error").alias("forecast_error"))
     q["holt_forecast"] = q_holt_forecast
 
+    def q_slo_burn_rate(spark, sf):
+        """Multi-window SLO burn rate over the hourly tier (new r5,
+        tail). Integer window counts divided once — exact dyadic
+        ratios, no rounding needed on the rates."""
+        from pyrate_spark.operators.anomaly import slo_burn_rate
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5)))
+        b = slo_burn_rate(t, threshold=80.0, short_window=6,
+                          long_window=24, burn_threshold=0.5)
+        return b.select("url", _u("bucket_start").alias("bucket_unix"),
+                        F.col("value_avg"), F.col("violation"),
+                        F.col("short_rate"), F.col("long_rate"),
+                        F.col("is_burning"))
+    q["slo_burn_rate"] = q_slo_burn_rate
+
     def q_sessionize_30m(spark, sf):
         """Web-analytics sessionization (new r5, tail): Spark
         session_window vs the DuckDB gaps-and-islands replay. Pure
@@ -1461,6 +1476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     Holt linear-trend forecasting; all pure
     #                     window/fold algebra over the in-window
     #                     hourly tier
+    #   slo_burn_rate   — (new in r5, registered straight to tail)
+    #                     SRE multi-window burn-rate alerting; exact
+    #                     integer-ratio window algebra
     #   streaming_cusum — (new in r5, registered straight to tail)
     #                     stateful one-pass CUSUM twin with a fixed
     #                     (mean, sigma) reference; two-double per-url
@@ -1476,7 +1494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ewma_hourly", "sessionize_30m", "topk_hourly",
             "streaming_sessionize_30m",
             "anomaly_zscore_hourly", "seasonal_residual",
-            "cusum_changepoint", "holt_forecast", "streaming_cusum"]
+            "cusum_changepoint", "holt_forecast", "streaming_cusum",
+            "slo_burn_rate"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -1951,6 +1970,32 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN hi > 4.0 OR lo > 4.0
                     THEN TRUE ELSE FALSE END AS is_change
         FROM u
+    """
+
+    # burn rate: integer violation counts over two trailing frames,
+    # divided once — exact, no fold or rounding machinery
+    o["slo_burn_rate"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        v AS (SELECT url, bucket_unix,
+                     round({_thr.format(t=0.5)}, 5) AS value_avg FROM h),
+        nn AS (SELECT url, bucket_unix, value_avg,
+                      CASE WHEN value_avg > 80.0 THEN 1 ELSE 0 END
+                          AS viol
+               FROM v WHERE value_avg IS NOT NULL),
+        w AS (SELECT url, bucket_unix, value_avg, viol,
+                     CAST(sum(viol) OVER ws AS DOUBLE)
+                         / count(*) OVER ws AS short_rate,
+                     CAST(sum(viol) OVER wl AS DOUBLE)
+                         / count(*) OVER wl AS long_rate
+              FROM nn
+              WINDOW ws AS (PARTITION BY url ORDER BY bucket_unix
+                            ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+                     wl AS (PARTITION BY url ORDER BY bucket_unix
+                            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        SELECT url, bucket_unix, value_avg,
+               viol = 1 AS violation, short_rate, long_rate,
+               short_rate > 0.5 AND long_rate > 0.5 AS is_burning
+        FROM w
     """
 
     # Holt: recursive-CTE replay of the level/trend recurrence, one

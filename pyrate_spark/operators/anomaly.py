@@ -263,6 +263,49 @@ def holt_forecast(tier_df: DataFrame, alpha: float = 0.5,
                     .alias("forecast_error")))
 
 
+def slo_burn_rate(tier_df: DataFrame, threshold: float,
+                  short_window: int = 6, long_window: int = 24,
+                  burn_threshold: float = 0.5,
+                  value_col: str = "value_avg",
+                  ts_col: str = "bucket_start") -> DataFrame:
+    """Multi-window SLO burn rate (the Google SRE-workbook alerting
+    shape — public): a bucket VIOLATES when its value exceeds
+    ``threshold``; the short/long burn rates are the violation
+    fractions over the trailing ``short_window`` / ``long_window``
+    buckets (current included), and ``is_burning`` requires BOTH to
+    exceed ``burn_threshold`` — the standard construction that makes
+    alerts both fast (short window reacts) and spike-proof (long
+    window must agree).
+
+    Everything is integer window counts divided once at the end, so
+    the rates are exact dyadic ratios — bit-deterministic across
+    engines with no fold machinery.  Same scale shape as the z-score:
+    one Exchange on url, constant-size frames, whole-stage codegen.
+    """
+    if short_window < 1 or long_window < short_window:
+        raise ValueError(
+            f"need 1 <= short_window <= long_window, got "
+            f"{short_window}/{long_window}")
+    t = tier_df.where(F.col(value_col).isNotNull())
+    ind = (F.col(value_col) > F.lit(float(threshold))).cast("long")
+    t = t.withColumn("violation", ind)
+    base = Window.partitionBy("url").orderBy(ts_col)
+    ws = base.rowsBetween(-(short_window - 1), 0)
+    wl = base.rowsBetween(-(long_window - 1), 0)
+    short_rate = (F.sum("violation").over(ws).cast("double")
+                  / F.count(F.lit(1)).over(ws))
+    long_rate = (F.sum("violation").over(wl).cast("double")
+                 / F.count(F.lit(1)).over(wl))
+    bt = F.lit(float(burn_threshold))
+    return (t.select("url", ts_col, F.col(value_col),
+                     F.col("violation").cast("boolean")
+                     .alias("violation"),
+                     short_rate.alias("short_rate"),
+                     long_rate.alias("long_rate"),
+                     ((short_rate > bt) & (long_rate > bt))
+                     .alias("is_burning")))
+
+
 def _hour_of_day(df: DataFrame, ts_col: str) -> Column:
     """Hour-of-day 0-23 from either a timestamp column or an
     epoch-seconds bucket column (both tier layouts appear in the

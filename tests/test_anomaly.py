@@ -188,6 +188,38 @@ def test_holt_rejects_bad_params(spark):
         holt_forecast(df, beta=1.5)
 
 
+def test_burn_rate_multi_window_gating(spark):
+    from pyrate_spark.operators.anomaly import slo_burn_rate
+    # one isolated spike (short window reacts, long must NOT agree)
+    # then a sustained violation run that trips both windows
+    vals = [1.0] * 10 + [9.0] + [1.0] * 5 + [9.0] * 12
+    rows = [("a", 3600 * i, v) for i, v in enumerate(vals)]
+    out = sorted(slo_burn_rate(_tier(spark, rows), threshold=5.0,
+                               short_window=3, long_window=12,
+                               burn_threshold=0.5,
+                               ts_col="bucket_start").collect(),
+                 key=lambda r: r["bucket_start"])
+    spike = out[10]
+    assert spike["violation"] is True
+    assert spike["short_rate"] == pytest.approx(1 / 3)
+    assert spike["is_burning"] is False  # long window vetoes
+    burning = [r["bucket_start"] // 3600 for r in out if r["is_burning"]]
+    assert burning and min(burning) >= 16
+    last = out[-1]
+    assert last["short_rate"] == 1.0 and last["long_rate"] > 0.5
+    # partial frames early on: denominators are the actual row counts
+    assert out[0]["short_rate"] == 0.0 and out[0]["long_rate"] == 0.0
+
+
+def test_burn_rate_rejects_bad_windows(spark):
+    from pyrate_spark.operators.anomaly import slo_burn_rate
+    df = _tier(spark, [("a", 0, 1.0)])
+    with pytest.raises(ValueError):
+        slo_burn_rate(df, 1.0, short_window=0)
+    with pytest.raises(ValueError):
+        slo_burn_rate(df, 1.0, short_window=6, long_window=3)
+
+
 def test_seasonal_baseline_skips_nulls(spark):
     rows = [("a", 3600 * h, None if h % 2 else 2.0) for h in range(6)]
     out = seasonal_baseline(_tier(spark, rows),
