@@ -34,8 +34,11 @@ def anomaly_zscore(tier_df: DataFrame, window: int = 24,
     never conditions on the point it is testing) give
     ``z = (x - mean) / std``; the row is anomalous when at least
     ``min_obs`` history rows exist, the variance is positive, and
-    ``|z| > nsig``.  Rows whose history is too short or flat carry
-    ``zscore = NULL, is_anomaly = false``.
+    ``|z| > nsig``.  ``zscore`` is emitted whenever the statistics
+    exist (>= 2 history rows with positive variance) and is NULL for
+    shorter or flat histories; ``min_obs`` gates only ``is_anomaly``,
+    so a row can carry a large early-history z-score with
+    ``is_anomaly = false``.
 
     The frame sums (sum, sum-of-squares) are exact left folds over the
     frame-ordered history list, so both statistics — and therefore the

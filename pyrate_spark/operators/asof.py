@@ -39,10 +39,27 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import DataType, DateType, NumericType, TimestampType
 
 _SIDE = "_asof_side"
 _TS = "_asof_ts"
 _PAYLOAD = "_asof_match"
+
+
+def _as_seconds(col, dtype: DataType, what: str):
+    """Epoch seconds for a timestamp OR epoch-numeric column.
+
+    `F.unix_timestamp` on a numeric column string-parses the number and
+    returns NULL, which would silently null every tolerance match — so
+    numeric (epoch-seconds) columns pass through and anything else is a
+    loud error.
+    """
+    if isinstance(dtype, (TimestampType, DateType)):
+        return F.unix_timestamp(col)
+    if isinstance(dtype, NumericType):
+        return col.cast("double")
+    raise TypeError(f"{what} must be a timestamp or epoch-seconds "
+                    f"numeric column for tolerance_sec, got {dtype}")
 
 
 def asof_join(left: DataFrame, right: DataFrame,
@@ -105,8 +122,10 @@ def asof_join(left: DataFrame, right: DataFrame,
 
     m = F.col(_PAYLOAD)
     if tolerance_sec is not None:
-        age = (F.unix_timestamp(F.col(_TS))
-               - F.unix_timestamp(m["_t"]))
+        age = (_as_seconds(F.col(_TS), left.schema[left_ts].dataType,
+                           f"left_ts {left_ts!r}")
+               - _as_seconds(m["_t"], right.schema[right_ts].dataType,
+                             f"right_ts {right_ts!r}"))
         if direction == "forward":
             age = -age
         m = F.when(age <= F.lit(int(tolerance_sec)), m)

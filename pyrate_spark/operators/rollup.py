@@ -242,9 +242,13 @@ def counter_rate(tier_df: DataFrame, value_col: str = "value_avg",
     Pure window algebra: one shuffle on url, no Python. NULL-valued
     buckets yield NULL delta/rate for themselves AND the next bucket
     (no phantom increase across a gap; PromQL skips staleness markers
-    the same way).
+    the same way). ``ts_col`` may be a timestamp or an epoch-seconds
+    numeric column; duplicate bucket timestamps within a url (dt == 0)
+    yield NULL ``rate_per_sec`` rather than a division blow-up, and the
+    delta for that row is still emitted.
     """
     from pyspark.sql import Window
+    from pyrate_spark.operators.asof import _as_seconds
     w = Window.partitionBy("url").orderBy(ts_col)
     v = F.col(value_col)
     prev = F.lag(value_col).over(w)
@@ -252,10 +256,13 @@ def counter_rate(tier_df: DataFrame, value_col: str = "value_avg",
     delta = (F.when(prev.isNull() | v.isNull(), None)
              .when(v < prev, v)              # reset: counter restarted
              .otherwise(v - prev))
-    dt = (F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts))
+    ts_type = tier_df.schema[ts_col].dataType
+    dt = (_as_seconds(F.col(ts_col), ts_type, f"ts_col {ts_col!r}")
+          - _as_seconds(prev_ts, ts_type, f"ts_col {ts_col!r}"))
     return (tier_df
             .withColumn("delta", delta)
-            .withColumn("rate_per_sec", delta / dt))
+            .withColumn("rate_per_sec",
+                        F.when(dt > 0, delta / dt)))
 
 
 def ewma_tier(tier_df: DataFrame, alpha: float = 0.5,

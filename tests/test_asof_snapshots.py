@@ -98,6 +98,29 @@ def test_asof_single_shuffle_plan(spark, asof_frames):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_asof_tolerance_on_epoch_numeric_ts(spark):
+    """tolerance_sec must work when the ts columns are epoch-seconds
+    longs (unix_timestamp on a long string-parses to NULL, which would
+    silently null every match)."""
+    left = spark.createDataFrame(
+        [("a", 1000, 1.0), ("a", 8000, 2.0)],
+        "url string, warc_ts long, value double")
+    right = spark.createDataFrame(
+        [("a", 900, 10.0)],
+        "url string, bucket_start long, value_avg double")
+    got = {r["warc_ts"]: r["value_avg"]
+           for r in asof_join(left, right, tolerance_sec=3600).collect()}
+    assert got[1000] == 10.0        # 100 s old: in tolerance
+    assert got[8000] is None        # 7100 s old: out of tolerance
+    # a non-time dtype is a loud error, not a silent all-NULL join
+    with pytest.raises(TypeError, match="timestamp or epoch-seconds"):
+        asof_join(left.withColumn("warc_ts",
+                                  F.col("warc_ts").cast("string")),
+                  right.withColumn("bucket_start",
+                                   F.col("bucket_start").cast("string")),
+                  tolerance_sec=60).collect()
+
+
 # ---------------------------------------------------------- interp gap-fill
 
 def test_gapfill_interp_lerp_and_edges(spark):
@@ -162,7 +185,7 @@ def test_snapshot_commit_time_travel_rollback_expire(spark, tmp_path):
     m4 = snap.rollback(store, to_version=2)
     assert m4["version"] == 4 and m4["properties"]["rollback_of"] == 2
     assert snap.read_snapshot(spark, store).count() == 150
-    assert snap._manifest_path(store, 2)          # history intact
+    assert os.path.isfile(snap._manifest_path(store, 2))  # history intact
     assert frozen.count() == 150
 
     res = snap.expire_snapshots(store, keep_last=1)
@@ -223,6 +246,109 @@ def test_snapshot_merge_upsert(spark, tmp_path):
     assert v1[("a", 2)] == 20.0 and ("c", 5) not in v1
     with pytest.raises(ValueError, match="absent"):
         snap.merge_snapshot(delta.withColumnRenamed("url", "u"), store)
+
+
+def test_merge_partition_scoped_carries_untouched_dirs(spark, tmp_path):
+    """A merge must rewrite ONLY data directories whose manifest key
+    bounds overlap the delta; disjoint directories are carried into
+    the new manifest by reference (identical path, zero I/O)."""
+    store = str(tmp_path / "scoped")
+    early = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0)],
+        "url string, bucket_start int, v double")
+    late = spark.createDataFrame(
+        [("x", 100, 10.0), ("z", 200, 20.0)],
+        "url string, bucket_start int, v double")
+    m1 = snap.commit_snapshot(early, store, mode="append",
+                              stats_cols=("url", "bucket_start"))
+    m2 = snap.commit_snapshot(late, store, mode="append",
+                              stats_cols=("url", "bucket_start"))
+    early_dir, late_dir = m1["own_paths"][0], m2["own_paths"][0]
+    # delta overlaps ONLY the late directory's (url, bucket) box
+    delta = spark.createDataFrame(
+        [("x", 100, 99.0), ("y", 150, 15.0)],
+        "url string, bucket_start int, v double")
+    m3 = snap.merge_snapshot(delta, store, keys=("url", "bucket_start"))
+    assert early_dir in m3["paths"]            # carried by reference
+    assert late_dir not in m3["paths"]         # rewritten
+    assert m3["properties"]["rewrote_dirs"] == 1
+    assert m3["properties"]["carried_dirs"] == 1
+    # the carried dir's stats ride along untouched
+    assert m3["stats"][early_dir] == m1["stats"][early_dir]
+    got = {(r["url"], r["bucket_start"]): r["v"]
+           for r in snap.read_snapshot(spark, store).collect()}
+    assert got == {("a", 1): 1.0, ("b", 2): 2.0, ("x", 100): 99.0,
+                   ("y", 150): 15.0, ("z", 200): 20.0}
+    # disjoint-everywhere delta rewrites NOTHING: pure append shape
+    far = spark.createDataFrame(
+        [("m", 500, 5.0)], "url string, bucket_start int, v double")
+    m4 = snap.merge_snapshot(far, store, keys=("url", "bucket_start"))
+    assert m4["properties"]["rewrote_dirs"] == 0
+    assert set(m3["paths"]) < set(m4["paths"])
+    assert snap.read_snapshot(spark, store).count() == 6
+
+
+def test_derived_commit_conflict_raises(spark, tmp_path):
+    """merge/rollback manifests carry the head they were derived from;
+    losing the CAS race to any other writer is a conflict, never a
+    silent retry with stale content."""
+    store = str(tmp_path / "conflict")
+    snap.commit_snapshot(spark.range(5), store)
+    snap.commit_snapshot(spark.range(5, 8), store)       # head is v2
+    stale = {
+        "version": 2, "parent": 1, "mode": "merge", "read_version": 1,
+        "own_paths": [], "paths": [], "columns": ["id"],
+        "committed_at": 0.0, "properties": {},
+    }
+    with pytest.raises(snap.SnapshotConflictError):
+        snap._publish(store, stale)
+
+
+def test_merge_retries_then_raises_without_orphans(spark, tmp_path,
+                                                   monkeypatch):
+    """A merge that loses every commit race re-derives bounded times,
+    removes each orphaned attempt directory, then propagates."""
+    store = str(tmp_path / "retry")
+    base = spark.createDataFrame(
+        [("a", 1, 1.0)], "url string, bucket_start int, v double")
+    snap.commit_snapshot(base, store)
+    calls = {"n": 0}
+    real_publish = snap._publish
+
+    def losing_publish(st, manifest):
+        calls["n"] += 1
+        raise snap.SnapshotConflictError("forced race loss")
+
+    monkeypatch.setattr(snap, "_publish", losing_publish)
+    delta = spark.createDataFrame(
+        [("a", 1, 9.0)], "url string, bucket_start int, v double")
+    with pytest.raises(snap.SnapshotConflictError, match="3 times"):
+        snap.merge_snapshot(delta, store, keys=("url", "bucket_start"),
+                            max_retries=3)
+    assert calls["n"] == 3
+    monkeypatch.setattr(snap, "_publish", real_publish)
+    # no orphaned attempt dirs: every data dir is manifest-referenced
+    live = {p for m in snap.list_snapshots(store) for p in m["paths"]}
+    data_root = os.path.join(store, snap.DATA_DIR)
+    on_disk = {os.path.join(data_root, d) for d in os.listdir(data_root)}
+    assert on_disk == live
+
+
+def test_expired_reader_fails_loudly(spark, tmp_path):
+    """A reader holding a manifest resolved BEFORE expire_snapshots ran
+    must fail at execution when GC deleted its data — never silently
+    return fewer rows (the documented keep_last reader-lifetime
+    contract)."""
+    store = str(tmp_path / "gc")
+    snap.commit_snapshot(spark.range(50), store, mode="append")
+    frozen = snap.read_snapshot(spark, store, 1)
+    snap.commit_snapshot(spark.range(7), store, mode="overwrite")
+    res = snap.expire_snapshots(store, keep_last=1)
+    assert res["expired"] == [1] and len(res["deleted_dirs"]) == 1
+    with pytest.raises(Exception) as exc:
+        frozen.count()
+    assert "not exist" in str(exc.value).lower() \
+        or "filenotfound" in str(exc.value).lower().replace(" ", "")
 
 
 def test_snapshot_modes_validated(spark, tmp_path):

@@ -162,6 +162,25 @@ def test_counter_rate_reset_detection(spark):
     assert got[6] == (None, None)                 # prev was null
 
 
+def test_counter_rate_epoch_numeric_ts_and_dup_bucket(spark):
+    """Epoch-seconds long ts columns must produce real rates (not the
+    unix_timestamp-on-long NULL pitfall), and a duplicate bucket
+    timestamp (dt == 0) yields NULL rate instead of a division blow-up
+    while still emitting the delta."""
+    from pyrate_spark.operators.rollup import counter_rate
+    rows = [("u", 0, 100.0, 0.0, 1), ("u", 3600, 150.0, 0.0, 1),
+            ("u", 3600, 160.0, 0.0, 1)]          # duplicate bucket
+    tier = spark.createDataFrame(
+        rows, "url string, bucket_start long, value_avg double, "
+              "null_fraction double, n_obs long")
+    got = [(r["delta"], r["rate_per_sec"])
+           for r in counter_rate(tier).orderBy("bucket_start",
+                                               "value_avg").collect()]
+    assert got[0] == (None, None)
+    assert got[1] == (50.0, 50.0 / 3600)
+    assert got[2] == (10.0, None)                # dt == 0 -> NULL rate
+
+
 def test_ewma_matches_pandas(spark, series):
     from pyrate_spark.operators.rollup import ewma_tier, tier_rollup
     tier = tier_rollup(series, "1 hour", thresh=0.99)
