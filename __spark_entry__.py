@@ -1262,6 +1262,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("is_change"))
     q["streaming_cusum"] = q_streaming_cusum
 
+    def q_streaming_zscore(spark, sf):
+        """Stateful trailing-window z-score twin (new r6): per-url
+        history state, one availableNow batch == the batch
+        anomaly_zscore operator == the DuckDB fold oracle,
+        bit-for-bit (same left-fold order over the same history)."""
+        from pyrate_spark.streaming.corrections import streaming_zscore
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5))
+             .where(F.col("value_avg").isNotNull())
+             .select("url", "bucket_start", "value_avg"))
+        out = _run_stateful_once(
+            spark, t,
+            lambda s: streaming_zscore(s, window=24, nsig=2.0,
+                                       min_obs=6),
+            "url string, bucket_start timestamp, value_avg double")
+        return out.select("url", _u("bucket_start").alias("bucket_unix"),
+                          F.col("value_avg"),
+                          F.col("n_window").cast("long")
+                          .alias("n_window"),
+                          F.round("zscore", 6).alias("zscore"),
+                          F.col("is_anomaly"))
+    q["streaming_zscore"] = q_streaming_zscore
+
+    def q_streaming_holt(spark, sf):
+        """Stateful Holt twin (new r6): per-url (level, trend) state,
+        one availableNow batch == the batch holt_forecast fold == the
+        DuckDB recursive replay, bit-for-bit; identical-arithmetic
+        rounding (floor(x*1e6+0.5)/1e6) on both sides."""
+        from pyrate_spark.streaming.corrections import streaming_holt
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5))
+             .where(F.col("value_avg").isNotNull())
+             .select("url", "bucket_start", "value_avg"))
+        out = _run_stateful_once(
+            spark, t,
+            lambda s: streaming_holt(s, alpha=0.5, beta=0.3),
+            "url string, bucket_start timestamp, value_avg double")
+
+        def r6(c):
+            return F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6
+        return out.select("url", _u("bucket_start").alias("bucket_unix"),
+                          F.col("value_avg"),
+                          r6("level").alias("level"),
+                          r6("trend").alias("trend"),
+                          r6("forecast").alias("forecast"),
+                          r6("forecast_error").alias("forecast_error"))
+    q["streaming_holt"] = q_streaming_holt
+
     def q_quicklook_classmap(spark, sf):
         """S9 quicklook colour maths (merge.py:195-231): per-url mean
         rate, symmetric blue-white-red 255-entry relief, nearest-entry
@@ -1525,7 +1573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "streaming_sessionize_30m",
             "seasonal_residual",
             "holt_forecast", "streaming_cusum",
-            "slo_burn_rate"]
+            "slo_burn_rate",
+            # new r6: streaming twins completing the alerting trio —
+            # registered straight to tail; each is pinned bit-equal to
+            # its in-suite batch sibling by a two-pass split pytest
+            "streaming_zscore", "streaming_holt"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3088,5 +3140,12 @@ def oracle_sql() -> dict[str, str]:
                n_valid, n_obs
         FROM g
     """
+
+    # streaming twins (new r6): the streaming query is pinned
+    # bit-equal to its batch sibling by construction (same fold order,
+    # two-pass split pytest), so the twin shares the sibling's oracle —
+    # the gate still independently recomputes every value in DuckDB
+    o["streaming_zscore"] = o["anomaly_zscore_hourly"]
+    o["streaming_holt"] = o["holt_forecast"]
 
     return o

@@ -125,6 +125,146 @@ def streaming_cusum(tier_stream: DataFrame, mean: float, sigma: float,
                 "append", GroupStateTimeout.NoTimeout))
 
 
+ZSCORE_OUT = ("url string, bucket_start timestamp, value_avg double, "
+              "n_window long, zscore double, is_anomaly boolean")
+ZSCORE_STATE = "hist array<double>"
+
+
+def _zscore_fn(window: int, nsig: float, min_obs: int):
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        import math
+        url = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["value_avg"].notna()]
+        rows = rows.sort_values("bucket_start", kind="stable")
+        (hist,) = state.get if state.exists else ([],)
+        hist = list(hist)
+        ns, zs, flags = [], [], []
+        # plain python floats folded oldest->newest: the SAME left-fold
+        # order and operation grouping as the batch F.aggregate sums,
+        # so mean/var/z are bit-identical
+        for x in rows["value_avg"].tolist():
+            n = len(hist)
+            z = None
+            if n > 1:
+                s = 0.0
+                ss = 0.0
+                for v in hist:
+                    s = s + v
+                    ss = ss + v * v
+                mean = s / n
+                var = (ss - n * mean * mean) / (n - 1)
+                if var > 0:
+                    z = (x - mean) / math.sqrt(var)
+            ns.append(n)
+            zs.append(z)
+            flags.append(bool(z is not None and n >= min_obs
+                              and abs(z) > nsig))
+            hist.append(x)
+            if len(hist) > window:
+                hist = hist[-window:]
+        state.update((hist,))
+        yield pd.DataFrame({
+            "url": url,
+            "bucket_start": rows["bucket_start"].to_numpy(),
+            "value_avg": rows["value_avg"].to_numpy(),
+            "n_window": pd.array(ns, dtype="int64"),
+            "zscore": pd.array(zs, dtype="float64"),
+            "is_anomaly": flags})
+    return fn
+
+
+def streaming_zscore(tier_stream: DataFrame, window: int = 24,
+                     nsig: float = 3.0, min_obs: int = 6) -> DataFrame:
+    """Streaming twin of ``operators/anomaly.anomaly_zscore``: per-url
+    state is the trailing ``window``-bucket history (current row always
+    excluded before its own test — the batch frame semantics), carried
+    across micro-batches, so an in-order availableNow pass reproduces
+    the batch operator row-for-row, bit-identically (same left-fold
+    order over the same history). State is O(window) doubles per url —
+    a small constant times unbounded url cardinality, the same state
+    scaling as streaming_cusum; no watermark because the frame is
+    row-based, not time-based."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_obs < 2:
+        raise ValueError(f"min_obs must be >= 2, got {min_obs}")
+    return (tier_stream
+            .groupBy("url")
+            .applyInPandasWithState(
+                _zscore_fn(int(window), float(nsig), int(min_obs)),
+                ZSCORE_OUT, ZSCORE_STATE,
+                "append", GroupStateTimeout.NoTimeout))
+
+
+HOLT_OUT = ("url string, bucket_start timestamp, value_avg double, "
+            "level double, trend double, forecast double, "
+            "forecast_error double")
+HOLT_STATE = "l double, b double"
+
+
+def _holt_fn(alpha: float, beta: float):
+    oma = 1.0 - alpha
+    omb = 1.0 - beta
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        url = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["value_avg"].notna()]
+        rows = rows.sort_values("bucket_start", kind="stable")
+        l, b = state.get if state.exists else (None, None)
+        ls, bs, fs, es = [], [], [], []
+        # same operation grouping as the batch SQL fold:
+        # l' = a*x + (1-a)*(l+b);  b' = beta*(l'-l) + (1-beta)*b
+        for x in rows["value_avg"].tolist():
+            if l is None:
+                f = None
+                l, b = x, 0.0
+            else:
+                f = l + b
+                l_new = alpha * x + oma * (l + b)
+                b = beta * (l_new - l) + omb * b
+                l = l_new
+            ls.append(l)
+            bs.append(b)
+            fs.append(f)
+            es.append(None if f is None else x - f)
+        if l is not None:
+            state.update((l, b))
+        yield pd.DataFrame({
+            "url": url,
+            "bucket_start": rows["bucket_start"].to_numpy(),
+            "value_avg": rows["value_avg"].to_numpy(),
+            "level": pd.array(ls, dtype="float64"),
+            "trend": pd.array(bs, dtype="float64"),
+            "forecast": pd.array(fs, dtype="float64"),
+            "forecast_error": pd.array(es, dtype="float64")})
+    return fn
+
+
+def streaming_holt(tier_stream: DataFrame, alpha: float = 0.5,
+                   beta: float = 0.3) -> DataFrame:
+    """Streaming twin of ``operators/anomaly.holt_forecast``: per-url
+    state is the two smoothing doubles (level, trend) carried across
+    micro-batches — the cheapest state in the family — so an in-order
+    availableNow pass reproduces the batch fold row-for-row,
+    bit-identically (same IEEE operation grouping). The emitted
+    one-step forecast_error is the residual a streaming alert rule
+    thresholds, completing the alerting trio (z-score / CUSUM / Holt)
+    in both batch and streaming forms."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not (0.0 <= beta <= 1.0):
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    return (tier_stream
+            .groupBy("url")
+            .applyInPandasWithState(
+                _holt_fn(float(alpha), float(beta)),
+                HOLT_OUT, HOLT_STATE,
+                "append", GroupStateTimeout.NoTimeout))
+
+
 def run_correct_stream(series_stream: DataFrame, out_path: str,
                        checkpoint_path: str,
                        cfg: EngineConfig = DEFAULT,

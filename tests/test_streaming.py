@@ -246,6 +246,113 @@ def test_streaming_cusum_matches_batch_target(spark, tmp_path):
     assert bool(got["is_change"].any())  # the drift actually fires
 
 
+def test_streaming_zscore_matches_batch(spark, tmp_path):
+    """Trailing-window z-score with per-url history state carried
+    across TWO availableNow passes == the batch operator on the
+    concatenated data, bit-for-bit (same left-fold order)."""
+    from pyrate_spark.operators.anomaly import anomaly_zscore
+    from pyrate_spark.streaming.corrections import streaming_zscore
+
+    src = str(tmp_path / "zsrc")
+    out = str(tmp_path / "zout")
+    ckpt = str(tmp_path / "zckpt")
+    # url a: calm then a spike in pass 2 whose history straddles the
+    # split; url b has a null (dropped like the batch filter) + spike
+    b1 = _tier_rows([("a", k, 10.0 + 0.3 * ((k * 7) % 5))
+                     for k in range(8)]
+                    + [("b", k, 5.0 + 0.1 * k) for k in range(5)]
+                    + [("b", 5, None)])
+    b2 = _tier_rows([("a", 8, 25.0)]
+                    + [("a", 9 + k, 10.0 + 0.3 * ((k * 3) % 5))
+                       for k in range(4)]
+                    + [("b", 6 + k, 5.6 + 0.1 * k) for k in range(3)])
+
+    def run(rows):
+        spark.createDataFrame(rows, TIER_DDL).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(TIER_DDL)
+                  .option("maxFilesPerTrigger", "8").parquet(src))
+        q = (streaming_zscore(stream, window=6, nsig=3.0, min_obs=4)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run(b1)
+    run(b2)
+    cols = ["url", "bucket_start", "n_window", "zscore", "is_anomaly"]
+    got = (spark.read.parquet(out).orderBy("url", "bucket_start")
+           .select(*cols).toPandas())
+    want = (anomaly_zscore(spark.createDataFrame(b1 + b2, TIER_DDL),
+                           window=6, nsig=3.0, min_obs=4)
+            .orderBy("url", "bucket_start").select(*cols).toPandas())
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["n_window"].tolist() == want["n_window"].tolist()
+    gz, wz = got["zscore"].to_numpy(float), want["zscore"].to_numpy(float)
+    import numpy as np
+    assert ((gz == wz) | (np.isnan(gz) & np.isnan(wz))).all()
+    assert got["is_anomaly"].tolist() == want["is_anomaly"].tolist()
+    assert bool(got["is_anomaly"].any())      # the spike actually fires
+
+
+def test_streaming_holt_matches_batch(spark, tmp_path):
+    """Holt (level, trend) state carried across TWO availableNow
+    passes == the batch fold on the concatenated data, bit-for-bit."""
+    from pyrate_spark.operators.anomaly import holt_forecast
+    from pyrate_spark.streaming.corrections import streaming_holt
+
+    src = str(tmp_path / "hsrc")
+    out = str(tmp_path / "hout")
+    ckpt = str(tmp_path / "hckpt")
+    # trending series split mid-trend, plus a level jump in pass 2
+    b1 = _tier_rows([("a", k, 10.0 + 2.0 * k + 0.25 * (k % 3))
+                     for k in range(7)]
+                    + [("b", k, 50.0 - k) for k in range(4)])
+    b2 = _tier_rows([("a", 7 + k, 24.0 + 2.0 * k) for k in range(5)]
+                    + [("b", 4, None)]
+                    + [("b", 5 + k, 80.0 + k) for k in range(3)])
+
+    def run(rows):
+        spark.createDataFrame(rows, TIER_DDL).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(TIER_DDL)
+                  .option("maxFilesPerTrigger", "8").parquet(src))
+        q = (streaming_holt(stream, alpha=0.5, beta=0.3)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run(b1)
+    run(b2)
+    cols = ["url", "bucket_start", "level", "trend", "forecast",
+            "forecast_error"]
+    got = (spark.read.parquet(out).orderBy("url", "bucket_start")
+           .select(*cols).toPandas())
+    want = (holt_forecast(spark.createDataFrame(b1 + b2, TIER_DDL),
+                          alpha=0.5, beta=0.3)
+            .orderBy("url", "bucket_start").select(*cols).toPandas())
+    import numpy as np
+    assert got["url"].tolist() == want["url"].tolist()
+    for c in ("level", "trend", "forecast", "forecast_error"):
+        g = got[c].to_numpy(float)
+        w = want[c].to_numpy(float)
+        assert ((g == w) | (np.isnan(g) & np.isnan(w))).all(), c
+
+
+def test_streaming_zscore_holt_validate_args(spark):
+    from pyrate_spark.streaming.corrections import (streaming_holt,
+                                                    streaming_zscore)
+    with pytest.raises(ValueError):
+        streaming_zscore(None, window=0)
+    with pytest.raises(ValueError):
+        streaming_zscore(None, min_obs=1)
+    with pytest.raises(ValueError):
+        streaming_holt(None, alpha=0.0)
+    with pytest.raises(ValueError):
+        streaming_holt(None, beta=1.5)
+
+
 def test_streaming_cusum_rejects_bad_sigma(spark):
     from pyrate_spark.streaming.corrections import streaming_cusum
     with pytest.raises(ValueError):
