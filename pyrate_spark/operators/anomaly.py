@@ -81,29 +81,37 @@ def seasonal_baseline(tier_df: DataFrame,
     deseasonalised series an alert threshold should look at, and
     ``n_profile`` says how much history backs the baseline.
 
-    One Exchange on (url, hour-of-day) — ≤ 24 profile cells per url,
-    so partitions stay balanced whatever the url skew; everything is
-    JVM window aggregation.  The profile mean is an exact left fold
-    over the bucket-ordered group (ewma policy) rather than a plain
-    ``avg`` so it is bit-reproducible across engines and parallelism
-    levels; the group is bounded by the retention window, so the
-    O(group) fold is a constant, not a scale axis.
+    Two hash aggregations on (url, hour-of-day) — ≤ 24 profile cells
+    per url, so partitions stay balanced whatever the url skew;
+    everything is JVM column algebra.  The profile mean is an exact
+    left fold over the bucket-ordered group (ewma policy) rather than
+    a plain ``avg`` so it is bit-reproducible across engines and
+    parallelism levels; the fold's collected list exists ONCE per
+    (url, hod) group in the profile aggregate — never buffered per
+    output row — and the per-row side of the join carries only the
+    two profile scalars, so peak memory is O(group) per profile cell,
+    not O(group²) per url as a full-frame window buffer would be.
+    The group is bounded by the retention window, so the O(group)
+    fold is a constant, not a scale axis.
     """
     hod = _hour_of_day(tier_df, ts_col)
     t = (tier_df.where(F.col(value_col).isNotNull())
          .withColumn("hod", hod))
-    w = (Window.partitionBy("url", "hod").orderBy(ts_col)
-         .rowsBetween(Window.unboundedPreceding,
-                      Window.unboundedFollowing))
-    t = t.withColumn("_prof", F.collect_list(value_col).over(w))
+    prof = (t.groupBy("url", "hod")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(value_col).alias("v")))).alias("_prof")))
     n = F.size("_prof")
-    s = F.aggregate("_prof", F.lit(0.0), lambda a, v: a + v)
-    baseline = s / n
-    return t.select("url", ts_col, F.col(value_col),
+    s = F.aggregate("_prof", F.lit(0.0), lambda a, x: a + x["v"])
+    prof = prof.select("url", "hod", (s / n).alias("baseline"),
+                       n.cast("long").alias("n_profile"))
+    return (t.join(prof, ["url", "hod"])
+            .select("url", ts_col, F.col(value_col),
                     F.col("hod"),
-                    baseline.alias("baseline"),
-                    (F.col(value_col) - baseline).alias("residual"),
-                    n.cast("long").alias("n_profile"))
+                    F.col("baseline"),
+                    (F.col(value_col) - F.col("baseline"))
+                    .alias("residual"),
+                    F.col("n_profile")))
 
 
 def cusum_changepoint(tier_df: DataFrame, k: float = 0.5,

@@ -73,6 +73,19 @@ def test_zscore_rejects_bad_params(spark):
         anomaly_zscore(df, min_obs=1)
 
 
+def test_seasonal_baseline_plan_has_no_window_buffer(spark):
+    """The profile fold must live in the (url, hod) aggregate — one
+    collected list per profile cell — never in a per-output-row window
+    frame buffer (the O(group) x n-rows memory amplification the
+    join-back form exists to avoid)."""
+    rows = [("a", 3600 * h, float(h)) for h in range(48)]
+    plan = (seasonal_baseline(_tier(spark, rows),
+                              ts_col="bucket_start")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan
+    assert "collect_list" in plan    # the fold is in the aggregate
+
+
 def test_seasonal_baseline_epoch_and_timestamp_agree(spark):
     # same series expressed as epoch seconds and as timestamps (UTC
     # session tz) must yield identical profiles
