@@ -82,30 +82,27 @@ _DOD_RANGES = (
 )
 
 
-# per-byte leading/trailing-zero LUTs for the vectorized clz/ctz
-_CLZ8 = np.array([8] + [8 - i.bit_length() for i in range(1, 256)],
-                 dtype=np.uint8)
-_CTZ8 = np.array([8] + [(i & -i).bit_length() - 1 for i in range(1, 256)],
-                 dtype=np.uint8)
-
-
 def _clz_ctz64(x: np.ndarray):
-    """(leading, trailing) zero counts of a uint64 vector via the byte
-    LUTs — endian-safe: astype('>u8') yields an explicitly big-endian
-    buffer on any host (byteswap() alone swaps relative to NATIVE
-    order and would be wrong on a big-endian machine)."""
-    b = x.astype(">u8").view(np.uint8).reshape(-1, 8)   # MSB first
-    rows = np.arange(len(b))
-    nz = b != 0
-    first = np.where(nz.any(1), nz.argmax(1), 8)
-    lead = first * 8 + np.where(
-        first < 8, _CLZ8[b[rows, np.minimum(first, 7)]], 0)
-    rev = b[:, ::-1]
-    nz2 = rev != 0
-    last = np.where(nz2.any(1), nz2.argmax(1), 8)
-    trail = last * 8 + np.where(
-        last < 8, _CTZ8[rev[rows, np.minimum(last, 7)]], 0)
-    return lead.astype(np.int64), trail.astype(np.int64)
+    """(leading, trailing) zero counts of a uint64 vector, EXACTLY.
+
+    bit_length comes from float64 exponents without ever rounding: the
+    two 32-bit halves are each exactly representable in float64, so
+    ``frexp`` returns the true bit length of whichever half leads (a
+    direct float64 conversion of the full 64-bit value would round
+    near 2^k boundaries and overstate bit_length by one). The trailing
+    count isolates the lowest set bit with ``x & -x`` — a power of two
+    up to 2^63, again exact in float64. Zero inputs yield (64, 64)."""
+    xu = np.ascontiguousarray(x, dtype=np.uint64)
+    hi = (xu >> np.uint64(32)).astype(np.float64)
+    lo = (xu & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    e_hi = np.frexp(hi)[1]
+    e_lo = np.frexp(lo)[1]
+    bitlen = np.where(hi > 0, e_hi + 32, e_lo)
+    lsb = (xu & (~xu + np.uint64(1))).astype(np.float64)
+    e_lsb = np.frexp(lsb)[1]
+    lead = (64 - bitlen).astype(np.int64)
+    trail = np.where(xu == 0, 64, e_lsb - 1).astype(np.int64)
+    return lead, trail
 
 
 _WIDTH_MASK = np.array([(1 << i) - 1 for i in range(65)], dtype=object
@@ -171,7 +168,12 @@ def _scatter_pack(v_all, w_all, starts, nwords) -> bytes:
     if len(spill):
         sh_lo = np.uint64(128) - end[spill]   # in [1, 63]
         np.bitwise_or.at(out, word[spill] + 1, v[spill] << sh_lo)
-    return out.astype(">u8").tobytes()
+    # big-endian output in ONE copy (tobytes) instead of two
+    # (astype('>u8') + tobytes): swap in place on a little-endian
+    # host, no-op on a big-endian one where native already IS '>u8'
+    if np.little_endian:
+        out.byteswap(inplace=True)
+    return out.tobytes()
 
 
 def encode_block(timestamps: np.ndarray, values: np.ndarray) -> bytes:
@@ -341,19 +343,18 @@ def _encode_blocks_core(ts: np.ndarray, vals: np.ndarray,
     bits = vals.view(np.uint64)
     offs = np.concatenate(([0], np.cumsum(counts)))
 
-    # ---- headers: 28 bytes (n, t0, first delta, v0 bits) for n >= 1;
-    #      the n == 0 header is the first 4 bytes (n only)
+    # ---- headers (n, t0, first delta, v0 bits): emitted as ordinary
+    #      MSB-first tokens (32 + 3x64 bits, or just the 32-bit n for
+    #      empty blocks) at the FRONT of each block's token run, so the
+    #      whole block — header and payload — comes out of ONE
+    #      _scatter_pack and the per-block result is a single slice of
+    #      one buffer; byte-identical to the struct.pack layout because
+    #      both are big-endian and the header is byte-aligned
     start_idx = np.minimum(offs[:-1], total - 1)   # safe for n==0 blocks
     t0 = np.where(counts > 0, ts[start_idx], 0)
     second = np.minimum(offs[:-1] + 1, total - 1)
     pdelta = np.where(counts > 1, ts[second] - t0, 0)
     v0 = np.where(counts > 0, bits[start_idx], np.uint64(0))
-    hdr = np.empty((B, 28), dtype=np.uint8)
-    hdr[:, 0:4] = counts.astype(">u4").view(np.uint8).reshape(B, 4)
-    hdr[:, 4:12] = t0.astype(">i8").view(np.uint8).reshape(B, 8)
-    hdr[:, 12:20] = pdelta.astype(">i8").view(np.uint8).reshape(B, 8)
-    hdr[:, 20:28] = v0.astype(">u8").view(np.uint8).reshape(B, 8)
-    hbytes = hdr.tobytes()
 
     # ---- encoded points: within-block position k >= 1, flat order
     k_pos = np.arange(total) - np.repeat(offs[:-1], counts)
@@ -361,9 +362,6 @@ def _encode_blocks_core(ts: np.ndarray, vals: np.ndarray,
     m_total = len(enc)
     enc_counts = np.maximum(counts - 1, 0)
     enc_offs = np.concatenate(([0], np.cumsum(enc_counts)))
-    if m_total == 0:
-        return [hbytes[28 * b:28 * b + (28 if counts[b] else 4)]
-                for b in range(B)]
 
     d_full = np.empty(total, np.int64)
     d_full[0] = 0
@@ -433,32 +431,61 @@ def _encode_blocks_core(ts: np.ndarray, vals: np.ndarray,
     slot_d_v[nz] = xors[nz] >> tzf[blk_enc].astype(np.uint64)[nz]
     slot_d_w[nz] = mbits_b[blk_enc][nz]
 
-    # ---- one pack for ALL blocks: each block's token region starts at
-    #      a fresh 64-bit word, so the per-block byte slice is exactly
-    #      what encode_block would have emitted
-    tv = np.stack([slot_a_v, slot_b_v, slot_c_v, slot_d_v], 1).ravel()
-    tw = np.stack([slot_a_w, slot_b_w, slot_c_w, slot_d_w], 1).ravel()
-    L_b = np.zeros(B, np.int64)
-    L_b[has_enc] = np.add.reduceat(tw, 4 * starts_enc)
+    # ---- token fusion: a point's A|B|C|D tokens are consecutive bits,
+    #      so whenever their total width fits 64 (the typical point:
+    #      small dod control + value control + mantissa) they collapse
+    #      into ONE token with identical bits — ~3x fewer live tokens
+    #      through _scatter_pack. B is 0 or 64 wide, so a fitting
+    #      point never has a B payload and the fused value is just
+    #      A || C || D. Non-fitting points keep the 4-slot layout.
+    wsum = slot_a_w + slot_b_w + slot_c_w + slot_d_w
+    fit = wsum <= 64
+    dw_sh = np.minimum(slot_d_w, 63).astype(np.uint64)
+    cd = (slot_c_v << dw_sh) | slot_d_v
+    acd_sh = np.minimum(slot_c_w + slot_d_w, 63).astype(np.uint64)
+    acd = (slot_a_v << acd_sh) | cd      # a_v == 0 whenever shift clips
+    slot_a_v = np.where(fit, acd, slot_a_v)
+    slot_a_w = np.where(fit, wsum, slot_a_w)
+    slot_c_w = np.where(fit, 0, slot_c_w)
+    slot_d_w = np.where(fit, 0, slot_d_w)
+
+    # ---- one pack for ALL blocks, headers included: each block's
+    #      token region starts at a fresh 64-bit word, so the per-block
+    #      result is a single slice of one buffer — exactly the bytes
+    #      encode_block would have emitted
+    n_tok = 4 * B + 4 * m_total
+    tv = np.zeros(n_tok, np.uint64)
+    tw = np.zeros(n_tok, np.int64)
+    hdr_base = 4 * np.arange(B) + 4 * enc_offs[:-1]
+    w64 = np.where(counts > 0, 64, 0)
+    tv[hdr_base] = counts.astype(np.uint64)
+    tw[hdr_base] = 32
+    tv[hdr_base + 1] = t0.view(np.uint64)
+    tw[hdr_base + 1] = w64
+    tv[hdr_base + 2] = pdelta.view(np.uint64)
+    tw[hdr_base + 2] = w64
+    tv[hdr_base + 3] = v0
+    tw[hdr_base + 3] = w64
+    if m_total:
+        pt = 4 * np.arange(m_total) + 4 * (blk_enc + 1)
+        tv[pt] = slot_a_v
+        tw[pt] = slot_a_w
+        tv[pt + 1] = slot_b_v
+        tw[pt + 1] = slot_b_w
+        tv[pt + 2] = slot_c_v
+        tw[pt + 2] = slot_c_w
+        tv[pt + 3] = slot_d_v
+        tw[pt + 3] = slot_d_w
+    tok_counts = 4 + 4 * enc_counts
+    L_b = np.add.reduceat(tw, hdr_base)        # bits/block incl header
     word_start = np.concatenate(([0], np.cumsum((L_b + 63) // 64)))
     contig = np.concatenate(([0], np.cumsum(L_b)))[:-1]
-    within = (np.cumsum(tw) - tw) - np.repeat(contig, 4 * enc_counts)
-    gstart = np.repeat(word_start[:-1] * 64, 4 * enc_counts) + within
+    within = (np.cumsum(tw) - tw) - np.repeat(contig, tok_counts)
+    gstart = np.repeat(word_start[:-1] * 64, tok_counts) + within
     packed = _scatter_pack(tv, tw, gstart, int(word_start[-1]))
-
-    ws8 = word_start * 8
-    tb = (L_b + 7) // 8
-    out = []
-    for b in range(B):
-        nb = counts[b]
-        if nb == 0:
-            out.append(hbytes[28 * b:28 * b + 4])
-        elif nb == 1:
-            out.append(hbytes[28 * b:28 * b + 28])
-        else:
-            out.append(hbytes[28 * b:28 * b + 28]
-                       + packed[ws8[b]:ws8[b] + tb[b]])
-    return out
+    ws8 = (word_start[:-1] * 8).tolist()
+    tb = ((L_b + 7) // 8).tolist()
+    return [packed[a:a + l] for a, l in zip(ws8, tb)]
 
 
 def _encode_block_scalar(timestamps: np.ndarray,

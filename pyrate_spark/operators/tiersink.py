@@ -30,22 +30,40 @@ def encode_tier(tier_df: DataFrame, tier_name: str = "1 hour",
                 cfg: EngineConfig = DEFAULT,
                 value_col: str = "value_avg",
                 ts_col: str = "bucket_start") -> DataFrame:
-    """(url, bucket_start, value_avg, ...) -> one encoded block per url."""
-    from pyrate_spark.operators.grouped import _bucketed
+    """(url, bucket_start, value_avg, ...) -> one encoded block per url.
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    Physical shape (r6): ONE exchange — ``repartition(parts, url)``
+    co-locates every url's rows — then ``mapInPandas`` encodes each
+    whole PARTITION in one UDF call. The codec is row-bound, not
+    compute-bound, so the fine salt-bucketing the inversion kernels
+    use (hundreds of grouped-map calls for bin-packing balance) only
+    multiplies per-call overhead here; partition-per-call keeps the
+    call count at ~2x cores. The partition iterator is concatenated
+    before encoding because a url's rows may straddle Arrow batch
+    boundaries within the partition; at cluster scale choose
+    ``parts`` so one partition's rows fit executor memory — the same
+    tile-sizing rule as the grouped kernels. Timestamps are projected
+    to epoch-second longs JVM-side so the Arrow channel never carries
+    datetime values."""
+    parts = int(tier_df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")) * 2
+
+    def fn(it):
         from pyrate_spark.kernels.gorilla import encode_blocks_flat
-        from pyrate_spark.operators.udf_kernels import ts_seconds
+        pdfs = list(it)
+        if not pdfs:
+            return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(
+            pdfs, ignore_index=True)
         # one lexsort by (url, ts) then ONE lane-parallel encode pass
-        # over the whole Arrow batch: per-url encode_block calls spent
+        # over the whole partition: per-url encode_block calls spent
         # more time in numpy call overhead than in bit packing at
-        # tier-shaped block sizes (tens of points x tens of thousands
-        # of urls per bucket). Sorting is done on factorized int codes,
-        # not the url strings themselves — hash-factorize + int lexsort
-        # is ~4x faster than lexsort over an object array, and only
-        # grouping (not lexicographic url order) matters here.
+        # tier-shaped block sizes. Sorting is done on factorized int
+        # codes, not the url strings themselves — hash-factorize +
+        # int lexsort is ~4x faster than lexsort over an object
+        # array, and only grouping (not url order) matters here.
         codes, uniques = pd.factorize(pdf["url"], sort=False)
-        ts_all = ts_seconds(pdf[ts_col])
+        ts_all = pdf["_t"].to_numpy(dtype=np.int64)
         order = np.lexsort((ts_all, codes))
         codes_s = codes[order]
         ts_s = ts_all[order]
@@ -54,7 +72,7 @@ def encode_tier(tier_df: DataFrame, tier_name: str = "1 hour",
             np.concatenate(([True], codes_s[1:] != codes_s[:-1])))
         counts = np.diff(np.concatenate((bounds, [len(codes_s)])))
         blocks = encode_blocks_flat(ts_s, v_s, counts)
-        return pd.DataFrame({
+        yield pd.DataFrame({
             "url": uniques.to_numpy()[codes_s[bounds]],
             "tier": tier_name,
             "n_points": counts.astype(np.int32),
@@ -62,14 +80,16 @@ def encode_tier(tier_df: DataFrame, tier_name: str = "1 hour",
             "bytes_encoded": np.fromiter((len(b) for b in blocks),
                                          dtype=np.int64,
                                          count=len(blocks)),
-            "block": [bytearray(b) for b in blocks]})
+            "block": blocks})
 
-    # applyInPandas ships EVERY input column through the shuffle and
-    # the Arrow channel — project down to the three the encoder reads
-    # before bucketing (same dead-column fix as the fused inversion)
-    slim = tier_df.select("url", ts_col, value_col)
-    return (_bucketed(slim, "url", cfg.salt_buckets, detect_hot=False)
-            .groupBy("_bucket").applyInPandas(fn, ENC_SCHEMA))
+    # mapInPandas ships EVERY input column through the Arrow channel —
+    # project down to the three the encoder reads before the exchange
+    ts_dtype = dict(tier_df.dtypes)[ts_col]
+    t = (F.unix_timestamp(ts_col) if ts_dtype.startswith("timestamp")
+         else F.col(ts_col).cast("long"))
+    slim = tier_df.select("url", t.alias("_t"), value_col)
+    return (slim.repartition(parts, "url")
+            .mapInPandas(fn, ENC_SCHEMA))
 
 
 def decode_tier(encoded: DataFrame) -> DataFrame:
