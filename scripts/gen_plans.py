@@ -242,6 +242,26 @@ add("CUSUM + Holt exact folds (r5)",
     "rows. Per-url state bounded by the tier retention window.",
     holt_forecast(tier_rollup(series, "1 hour", thresh=0.5)))
 
+from pyrate_spark.operators.anomaly import seasonal_baseline
+add("Seasonal baseline join-back (r6)",
+    "The profile fold runs ONCE per (url, hod) cell inside the hash "
+    "aggregate and its two scalars join back to the rows — NO Window "
+    "node anywhere (the r5 form buffered the full profile list per "
+    "OUTPUT row in an unbounded window frame). The join shuffles on "
+    "(url, hod), a key at least as fine as url, so hot-url skew is "
+    "diluted 24-ways.",
+    seasonal_baseline(tier_rollup(series, "1 hour", thresh=0.5)))
+
+from pyrate_spark.operators.tiersink import encode_tier
+add("Gorilla tier encode (r6: partition-per-call)",
+    "ONE user-specified round-robin-by-url Exchange (AQE-coalesce "
+    "exempt), then mapInPandas encodes each whole partition in one "
+    "UDF call — the codec is row-bound, so call count stays ~2x "
+    "cores instead of the grouped-map's hundreds of per-bucket "
+    "calls; the Arrow channel carries url + epoch-long ts + value "
+    "only (no datetime conversion either side).",
+    encode_tier(tier_rollup(series, "1 hour", thresh=0.5)))
+
 out = ["# PLANS — physical-plan audit of the core operators",
        "",
        "Generated by scripts/gen_plans.py (`df.explain('formatted')` on",
