@@ -1310,6 +1310,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           r6("forecast_error").alias("forecast_error"))
     q["streaming_holt"] = q_streaming_holt
 
+    def q_time_weighted_hourly(spark, sf):
+        """TimescaleDB time_weight('LOCF') over the raw event series
+        (new r6, tail): segment integrals split exactly at hour
+        boundaries, averaged over COVERED seconds; hold capped at one
+        day (bounds the boundary-split fan-out). The operator is fed
+        INTEGER-scaled values (floor(v*1e5 + 0.5), identical
+        arithmetic both sides): every v*dt term and both sums are
+        then exact integers (< 2^53), so the integral is
+        order-independent and the final divisions are the same two
+        doubles in both engines — the gate is EXACT with no output
+        rounding (plain 5-dp values sit exactly ON decimal half
+        boundaries here — integer dt times 5-decimal v over 3600 —
+        where Spark's and DuckDB's round() legitimately disagree)."""
+        from pyrate_spark.operators.metrics import time_weighted_avg
+        e = (_events(spark, sf)
+             .withColumn("value",
+                         F.floor(F.round("value", 5) * 1e5 + F.lit(0.5))
+                         .cast("double")))
+        out = time_weighted_avg(e, 3600, method="locf",
+                                max_gap_sec=86400)
+        return out.select("url", "bucket_start",
+                          (F.col("value_twa") / 1e5).alias("value_twa"),
+                          F.col("covered_sec"))
+    q["time_weighted_hourly"] = q_time_weighted_hourly
+
+    def q_deriv_hourly(spark, sf):
+        """PromQL deriv(): per-(url, hour) least-squares slope of
+        value vs in-bucket seconds (new r6, tail). Time is centred on
+        the bucket start; < 2 samples or zero time-variance yields
+        NULL. Regression sums are order-dependent -> rounded 6."""
+        from pyrate_spark.operators.metrics import regression_slope
+        e = (_events(spark, sf)
+             .withColumn("value", F.round("value", 5)))
+        out = regression_slope(e, 3600)
+        return out.select("url", "bucket_start",
+                          F.col("n_samples").cast("long")
+                          .alias("n_samples"),
+                          F.round("slope_per_sec", 6)
+                          .alias("slope_per_sec"))
+    q["deriv_hourly"] = q_deriv_hourly
+
+    def q_irate_hourly(spark, sf):
+        """PromQL irate(): delta of the LAST TWO samples in each
+        (url, hour) over their gap, with counter-reset semantics (new
+        r6, tail). No sums anywhere — both engines divide the same
+        two doubles, so the gate is exact with NO rounding."""
+        from pyrate_spark.operators.metrics import irate
+        e = (_events(spark, sf)
+             .withColumn("value", F.round("value", 5)))
+        out = irate(e, 3600, counter=True)
+        return out.select("url", "bucket_start",
+                          F.col("n_samples"),
+                          F.col("irate_per_sec"))
+    q["irate_hourly"] = q_irate_hourly
+
+    def q_histogram_q95(spark, sf):
+        """PromQL histogram_quantile(0.95): cumulative le-bucket
+        histograms built per (url, hour) from the event values
+        (fixed le ladder 20..100, +Inf), then the Prometheus
+        interpolation (new r6, tail). Counts are exact integers;
+        only the final interpolation divides -> rounded 6."""
+        from pyrate_spark.operators.metrics import histogram_quantile
+        les = [20.0, 40.0, 60.0, 80.0, 100.0, float("inf")]
+        e = (_events(spark, sf).where(F.col("value").isNotNull())
+             .select("url",
+                     (F.floor(F.unix_timestamp("warc_ts") / 3600)
+                      .cast("long") * 3600).alias("bucket_start"),
+                     F.round("value", 5).alias("value")))
+        h = (e.withColumn("le", F.explode(F.array(
+                 *[F.lit(x) for x in les])))
+             .groupBy("url", "bucket_start", "le")
+             .agg(F.sum(F.when(F.col("value") <= F.col("le"), 1)
+                        .otherwise(0)).alias("cum_count")))
+        out = histogram_quantile(h, 0.95)
+        return out.select("url", "bucket_start", "total_count",
+                          F.round("q95", 6).alias("q95"))
+    q["histogram_q95"] = q_histogram_q95
+
     def q_quicklook_classmap(spark, sf):
         """S9 quicklook colour maths (merge.py:195-231): per-url mean
         rate, symmetric blue-white-red 255-entry relief, nearest-entry
@@ -1577,7 +1655,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # new r6: streaming twins completing the alerting trio —
             # registered straight to tail; each is pinned bit-equal to
             # its in-suite batch sibling by a two-pass split pytest
-            "streaming_zscore", "streaming_holt"]
+            "streaming_zscore", "streaming_holt",
+            # new r6: PromQL/TimescaleDB derived-metric family
+            "time_weighted_hourly", "deriv_hourly", "irate_hourly",
+            "histogram_q95"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3147,5 +3228,129 @@ def oracle_sql() -> dict[str, str]:
     # the gate still independently recomputes every value in DuckDB
     o["streaming_zscore"] = o["anomaly_zscore_hourly"]
     o["streaming_holt"] = o["holt_forecast"]
+
+    # PromQL/TimescaleDB derived metrics (new r6). Shared base: the
+    # deduped event series with values rounded to 5 (so both engines
+    # integrate/divide identical doubles), epoch-second timestamps.
+    _EB = f"""
+        SELECT url,
+               CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT) AS t,
+               round(value, 5) AS v
+        FROM ({_events_sql()}) WHERE value IS NOT NULL
+    """
+
+    # time_weight('LOCF'): lead() segments capped at one day, split at
+    # hour boundaries via generate_series. Values integer-scaled
+    # (floor(v*1e5 + 0.5)) so both sums are exact integers and the
+    # gate is bit-exact with no rounding (see the query docstring)
+    o["time_weighted_hourly"] = f"""
+        WITH e AS (
+            SELECT url, t,
+                   CAST(floor(v * 100000.0 + 0.5) AS DOUBLE) AS v
+            FROM ({_EB})),
+        s AS (SELECT url, t, v,
+                     lead(t) OVER (PARTITION BY url ORDER BY t) AS tn
+              FROM e),
+        seg AS (SELECT url, t, v,
+                       least(tn, t + 86400) AS tn
+                FROM s WHERE tn IS NOT NULL AND tn > t),
+        x AS (SELECT url, t, tn, v,
+                     unnest(generate_series(t // 3600,
+                                            (tn - 1) // 3600)) AS k
+              FROM seg),
+        c AS (SELECT url, k * 3600 AS bucket_start,
+                     greatest(t, k * 3600) AS a,
+                     least(tn, (k + 1) * 3600) AS b, v
+              FROM x)
+        SELECT url, bucket_start,
+               sum(v * CAST(b - a AS DOUBLE))
+                   / sum(CAST(b - a AS DOUBLE)) / 100000.0
+                   AS value_twa,
+               CAST(sum(b - a) AS BIGINT) AS covered_sec
+        FROM c GROUP BY url, bucket_start
+    """
+
+    # deriv(): explicit normal-equation sums (x centred on the bucket
+    # start), NULL below 2 samples or at zero time-variance
+    o["deriv_hourly"] = f"""
+        WITH e AS ({_EB}),
+        b AS (SELECT url, (t // 3600) * 3600 AS bucket_start,
+                     CAST(t - (t // 3600) * 3600 AS DOUBLE) AS x, v
+              FROM e),
+        g AS (SELECT url, bucket_start,
+                     count(*) AS n, sum(x) AS sx, sum(v) AS sv,
+                     sum(x * v) AS sxv, sum(x * x) AS sxx
+              FROM b GROUP BY 1, 2)
+        SELECT url, bucket_start, n AS n_samples,
+               CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                    THEN round((n * sxv - sx * sv)
+                               / (n * sxx - sx * sx), 6) END
+                   AS slope_per_sec
+        FROM g
+    """
+
+    # irate(): last two samples per (url, hour), counter-reset rule;
+    # both engines divide the SAME two doubles — exact, no rounding
+    o["irate_hourly"] = f"""
+        WITH e AS ({_EB}),
+        g AS (SELECT url, (t // 3600) * 3600 AS bucket_start,
+                     list(v ORDER BY t) AS vs,
+                     list(t ORDER BY t) AS ts
+              FROM e GROUP BY 1, 2)
+        SELECT url, bucket_start,
+               CAST(len(vs) AS BIGINT) AS n_samples,
+               CASE WHEN len(vs) >= 2 AND ts[-1] - ts[-2] > 0 THEN
+                   (CASE WHEN vs[-1] < vs[-2] THEN vs[-1]
+                         ELSE vs[-1] - vs[-2] END)
+                   / CAST(ts[-1] - ts[-2] AS DOUBLE) END
+                   AS irate_per_sec
+        FROM g
+    """
+
+    # histogram_quantile(0.95): fixed le ladder, cumulative integer
+    # counts, Prometheus interpolation (rank in +Inf -> top finite le)
+    o["histogram_q95"] = f"""
+        WITH e AS (
+            SELECT url,
+                   (CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT)
+                    // 3600) * 3600 AS bucket_start,
+                   round(value, 5) AS v
+            FROM ({_events_sql()}) WHERE value IS NOT NULL),
+        l AS (SELECT unnest([20.0, 40.0, 60.0, 80.0, 100.0,
+                             'inf'::DOUBLE]) AS le),
+        h AS (SELECT url, bucket_start, le,
+                     CAST(count(*) FILTER (v <= le) AS DOUBLE) AS c
+              FROM e CROSS JOIN l GROUP BY 1, 2, 3),
+        g AS (SELECT url, bucket_start,
+                     list(le ORDER BY le) AS les,
+                     list(c ORDER BY le) AS cs
+              FROM h GROUP BY 1, 2),
+        r AS (SELECT url, bucket_start, les, cs,
+                     cs[-1] AS total, 0.95 * cs[-1] AS rnk,
+                     len(list_filter(cs, c -> c < 0.95 * cs[-1])) + 1
+                         AS idx
+              FROM g)
+        SELECT url, bucket_start,
+               CAST(total AS BIGINT) AS total_count,
+               CASE WHEN total <= 0 THEN NULL
+                    WHEN les[idx] = 'inf'::DOUBLE THEN 100.0
+                    WHEN cs[idx] - (CASE WHEN idx > 1 THEN cs[idx - 1]
+                                         ELSE 0.0 END) > 0
+                    THEN round((CASE WHEN idx > 1 THEN les[idx - 1]
+                                     ELSE 0.0 END)
+                               + (les[idx]
+                                  - (CASE WHEN idx > 1
+                                          THEN les[idx - 1]
+                                          ELSE 0.0 END))
+                               * (rnk - (CASE WHEN idx > 1
+                                              THEN cs[idx - 1]
+                                              ELSE 0.0 END))
+                               / (cs[idx]
+                                  - (CASE WHEN idx > 1
+                                          THEN cs[idx - 1]
+                                          ELSE 0.0 END)), 6)
+                    ELSE round(les[idx], 6) END AS q95
+        FROM r
+    """
 
     return o

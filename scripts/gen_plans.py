@@ -262,6 +262,23 @@ add("Gorilla tier encode (r6: partition-per-call)",
     "only (no datetime conversion either side).",
     encode_tier(tier_rollup(series, "1 hour", thresh=0.5)))
 
+from pyrate_spark.operators.metrics import (regression_slope,
+                                            time_weighted_avg)
+add("Time-weighted average (r6, TimescaleDB time_weight)",
+    "ONE Exchange on url for the lead() window, then the segment-to-"
+    "bucket explode (sequence bounded by max_gap_sec / bucket) and a "
+    "hash aggregation on (url, bucket) — strictly finer than url, so "
+    "hot urls dilute. All codegen; the explode fan-out is the only "
+    "row-amplifier and is capped by the gap policy.",
+    time_weighted_avg(series, 3600, max_gap_sec=86400,
+                      value_col="value", ts_col="warc_ts"))
+add("Regression slope / deriv (r6, PromQL)",
+    "Pure two-phase hash aggregation of the five normal-equation "
+    "sums with map-side partials — no window, no sort, no Python; "
+    "the cheapest possible shape for a per-bucket fitted metric.",
+    regression_slope(series, 3600, value_col="value",
+                     ts_col="warc_ts"))
+
 out = ["# PLANS — physical-plan audit of the core operators",
        "",
        "Generated by scripts/gen_plans.py (`df.explain('formatted')` on",
