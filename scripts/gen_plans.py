@@ -254,7 +254,7 @@ add("Seasonal baseline join-back (r6)",
 
 from pyrate_spark.operators.tiersink import encode_tier
 add("Gorilla tier encode (r6: partition-per-call)",
-    "ONE user-specified round-robin-by-url Exchange (AQE-coalesce "
+    "ONE user-specified hash-by-url Exchange (AQE-coalesce "
     "exempt), then mapInPandas encodes each whole partition in one "
     "UDF call — the codec is row-bound, so call count stays ~2x "
     "cores instead of the grouped-map's hundreds of per-bucket "
