@@ -45,51 +45,54 @@ def encode_tier(tier_df: DataFrame, tier_name: str = "1 hour",
     tile-sizing rule as the grouped kernels. Timestamps are projected
     to epoch-second longs JVM-side so the Arrow channel never carries
     datetime values."""
-    parts = int(tier_df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions")) * 2
-
-    def fn(it):
+    def fn(batches):
+        import pyarrow as pa
         from pyrate_spark.kernels.gorilla import encode_blocks_flat
-        pdfs = list(it)
-        if not pdfs:
-            return
-        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(
-            pdfs, ignore_index=True)
-        # one lexsort by (url, ts) then ONE lane-parallel encode pass
-        # over the whole partition: per-url encode_block calls spent
-        # more time in numpy call overhead than in bit packing at
-        # tier-shaped block sizes. Sorting is done on factorized int
-        # codes, not the url strings themselves — hash-factorize +
-        # int lexsort is ~4x faster than lexsort over an object
-        # array, and only grouping (not url order) matters here.
-        codes, uniques = pd.factorize(pdf["url"], sort=False)
-        ts_all = pdf["_t"].to_numpy(dtype=np.int64)
-        order = np.lexsort((ts_all, codes))
-        codes_s = codes[order]
-        ts_s = ts_all[order]
-        v_s = pdf[value_col].to_numpy(dtype=np.float64)[order]
-        bounds = np.flatnonzero(
-            np.concatenate(([True], codes_s[1:] != codes_s[:-1])))
-        counts = np.diff(np.concatenate((bounds, [len(codes_s)])))
-        blocks = encode_blocks_flat(ts_s, v_s, counts)
-        yield pd.DataFrame({
-            "url": uniques.to_numpy()[codes_s[bounds]],
-            "tier": tier_name,
-            "n_points": counts.astype(np.int32),
-            "bytes_raw": counts * 16,
-            "bytes_encoded": np.fromiter((len(b) for b in blocks),
-                                         dtype=np.int64,
-                                         count=len(blocks)),
-            "block": blocks})
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            urls = rb.column(0)
+            lst = rb.column(1)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            # zero-copy unwrap: list offsets -> per-url counts, struct
+            # children -> the flat (ts, value) arrays the lane encoder
+            # consumes directly — no factorize, no sort, no gather in
+            # Python (the JVM already grouped and time-sorted)
+            offs = np.asarray(lst.offsets)
+            flat = lst.flatten()        # slice-aware: sum(diff) == len
+            counts = np.diff(offs)
+            ts_s = flat.field("t").to_numpy(zero_copy_only=False)
+            v_s = flat.field("v").to_numpy(zero_copy_only=False)
+            blocks = encode_blocks_flat(
+                np.ascontiguousarray(ts_s, dtype=np.int64),
+                np.ascontiguousarray(v_s, dtype=np.float64), counts)
+            nb = np.fromiter((len(b) for b in blocks), dtype=np.int64,
+                             count=len(blocks))
+            yield pa.RecordBatch.from_arrays(
+                [urls,
+                 pa.array([tier_name] * len(blocks), pa.string()),
+                 pa.array(counts.astype(np.int32), pa.int32()),
+                 pa.array(counts * 16, pa.int64()),
+                 pa.array(nb, pa.int64()),
+                 pa.array(blocks, pa.binary())],
+                names=["url", "tier", "n_points", "bytes_raw",
+                       "bytes_encoded", "block"])
 
-    # mapInPandas ships EVERY input column through the Arrow channel —
-    # project down to the three the encoder reads before the exchange
+    # the grouping and time-sort happen JVM-side (one hash aggregate —
+    # the only Exchange); the Arrow channel then carries ONE row per
+    # url with a list<struct<t,v>> column instead of every tier row,
+    # so the Python boundary cost scales with urls, not points
     ts_dtype = dict(tier_df.dtypes)[ts_col]
     t = (F.unix_timestamp(ts_col) if ts_dtype.startswith("timestamp")
          else F.col(ts_col).cast("long"))
-    slim = tier_df.select("url", t.alias("_t"), value_col)
-    return (slim.repartition(parts, "url")
-            .mapInPandas(fn, ENC_SCHEMA))
+    agg = (tier_df.select("url", t.alias("_t"),
+                          F.col(value_col).alias("_v"))
+           .groupBy("url")
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col("_t").alias("t"),
+               F.col("_v").alias("v")))).alias("_s")))
+    return agg.mapInArrow(fn, ENC_SCHEMA)
 
 
 def decode_tier(encoded: DataFrame) -> DataFrame:
