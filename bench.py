@@ -302,6 +302,25 @@ def main():
             3 * n_ht / max(timings["anomaly_suite"], 1e-9))
         ht.unpersist()
 
+    # ---- PromQL/TimescaleDB derived metrics (new r6 stage) ----
+    if _want("derived_metrics"):
+        from pyrate_spark.operators.metrics import (irate,
+                                                    regression_slope,
+                                                    time_weighted_avg)
+        n_raw = series.count()
+        timed("derived_metrics",
+              lambda: (time_weighted_avg(series, 3600,
+                                         max_gap_sec=86400,
+                                         value_col="value",
+                                         ts_col="warc_ts").count()
+                       + regression_slope(series, 21600,
+                                          value_col="value",
+                                          ts_col="warc_ts").count()
+                       + irate(series, 21600, value_col="value",
+                               ts_col="warc_ts").count()))
+        meta["derived_metrics_rows_per_sec"] = round(
+            3 * n_raw / max(timings["derived_metrics"], 1e-9))
+
     series.unpersist()
 
     # ---- driver tables ----
