@@ -1388,6 +1388,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("q95", 6).alias("q95"))
     q["histogram_q95"] = q_histogram_q95
 
+    def q_lttb_downsample(spark, sf):
+        """LTTB perceptual downsample to 20 points per url (new r6,
+        tail): canonical Steinarsson buckets, next-anchor averages as
+        exact ordered folds, argmax triangle area with earliest-wins
+        ties — the whole selection is a deterministic recurrence, so
+        the DuckDB recursive-CTE replay (holt pattern) matches
+        bit-for-bit with NO output rounding."""
+        from pyrate_spark.operators.downsample import lttb_downsample
+        e = (_events(spark, sf)
+             .withColumn("value", F.round("value", 5)))
+        return lttb_downsample(e, 20).select(
+            "url", F.col("t").alias("t_unix"), F.col("v"),
+            F.col("n_in"))
+    q["lttb_downsample"] = q_lttb_downsample
+
     def q_quicklook_classmap(spark, sf):
         """S9 quicklook colour maths (merge.py:195-231): per-url mean
         rate, symmetric blue-white-red 255-entry relief, nearest-entry
@@ -1656,9 +1671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # registered straight to tail; each is pinned bit-equal to
             # its in-suite batch sibling by a two-pass split pytest
             "streaming_zscore", "streaming_holt",
-            # new r6: PromQL/TimescaleDB derived-metric family
+            # new r6: PromQL/TimescaleDB derived-metric family + LTTB
             "time_weighted_hourly", "deriv_hourly", "irate_hourly",
-            "histogram_q95"]
+            "histogram_q95", "lttb_downsample"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3229,6 +3244,7 @@ def oracle_sql() -> dict[str, str]:
     o["streaming_zscore"] = o["anomaly_zscore_hourly"]
     o["streaming_holt"] = o["holt_forecast"]
 
+
     # PromQL/TimescaleDB derived metrics (new r6). Shared base: the
     # deduped event series with values rounded to 5 (so both engines
     # integrate/divide identical doubles), epoch-second timestamps.
@@ -3351,6 +3367,91 @@ def oracle_sql() -> dict[str, str]:
                                           ELSE 0.0 END)), 6)
                     ELSE round(les[idx], 6) END AS q95
         FROM r
+    """
+
+    # LTTB (new r6): the selection is a deterministic recurrence —
+    # replay it step-for-step with a recursive CTE (the holt_forecast
+    # pattern; one row per interior point per url). Area expressions
+    # mirror the Spark fold's operand order exactly; anchor averages
+    # are the same prepend-0.0 ordered folds; ties keep the earliest
+    # candidate via strict > on both sides. Bit-exact, no rounding.
+    _A_T = ("abs((r.bt - e.nat) * (e.v - r.bv)"
+            " - (r.bt - e.t) * (e.nav - r.bv))")
+    _A_P = ("abs((r.pt - e.nat) * (e.v - r.pv)"
+            " - (r.pt - e.t) * (e.nav - r.pv))")
+    o["lttb_downsample"] = f"""
+        WITH RECURSIVE
+        pts AS (SELECT url, t, v,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY t) AS i,
+                       count(*) OVER (PARTITION BY url) AS n
+                FROM ({_EB})),
+        small AS (SELECT url, t AS t_unix, v, n AS n_in
+                  FROM pts WHERE n <= 20),
+        big AS (SELECT * FROM pts WHERE n > 20),
+        interior AS (SELECT url, i, CAST(t AS DOUBLE) AS t, v, n,
+                            ((CAST(i AS BIGINT) - 1) * 18 - 1)
+                                // (n - 2) AS b
+                     FROM big WHERE i >= 2 AND i <= n - 1),
+        avgs AS (SELECT url, b,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list(t ORDER BY i)), (a, x) -> a + x)
+                            / count(*) AS at,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list(v ORDER BY i)), (a, x) -> a + x)
+                            / count(*) AS av
+                 FROM interior GROUP BY url, b),
+        firstpt AS (SELECT url, CAST(t AS DOUBLE) AS ft, v AS fv, n
+                    FROM big WHERE i = 1),
+        lastpt AS (SELECT url, CAST(t AS DOUBLE) AS lt, v AS lv
+                   FROM big WHERE i = n),
+        elems AS (SELECT i.url, i.i, i.t, i.v, i.b, i.n,
+                         COALESCE(a.at, l.lt) AS nat,
+                         COALESCE(a.av, l.lv) AS nav
+                  FROM interior i
+                  LEFT JOIN avgs a ON a.url = i.url AND a.b = i.b + 1
+                  JOIN lastpt l ON l.url = i.url),
+        rec AS (
+            SELECT e.url, e.i, e.n,
+                   f.ft AS pt, f.fv AS pv, e.b AS cb,
+                   abs((f.ft - e.nat) * (e.v - f.fv)
+                       - (f.ft - e.t) * (e.nav - f.fv)) AS ba,
+                   e.t AS bt, e.v AS bv,
+                   CAST(NULL AS DOUBLE) AS et,
+                   CAST(NULL AS DOUBLE) AS ev
+            FROM elems e JOIN firstpt f ON f.url = e.url
+            WHERE e.i = 2
+            UNION ALL
+            SELECT e.url, e.i, e.n,
+                   CASE WHEN e.b != r.cb THEN r.bt ELSE r.pt END,
+                   CASE WHEN e.b != r.cb THEN r.bv ELSE r.pv END,
+                   e.b,
+                   CASE WHEN e.b != r.cb THEN {_A_T}
+                        ELSE CASE WHEN {_A_P} > r.ba THEN {_A_P}
+                                  ELSE r.ba END END,
+                   CASE WHEN e.b != r.cb THEN e.t
+                        ELSE CASE WHEN {_A_P} > r.ba THEN e.t
+                                  ELSE r.bt END END,
+                   CASE WHEN e.b != r.cb THEN e.v
+                        ELSE CASE WHEN {_A_P} > r.ba THEN e.v
+                                  ELSE r.bv END END,
+                   CASE WHEN e.b != r.cb THEN r.bt END,
+                   CASE WHEN e.b != r.cb THEN r.bv END
+            FROM rec r JOIN elems e
+              ON e.url = r.url AND e.i = r.i + 1),
+        sel AS (
+            SELECT url, ft AS t, fv AS v FROM firstpt
+            UNION ALL
+            SELECT url, et, ev FROM rec WHERE et IS NOT NULL
+            UNION ALL
+            SELECT url, bt, bv FROM rec WHERE i = n - 1
+            UNION ALL
+            SELECT url, lt, lv FROM lastpt)
+        SELECT s.url, CAST(s.t AS BIGINT) AS t_unix, s.v AS v,
+               f.n AS n_in
+        FROM sel s JOIN firstpt f ON f.url = s.url
+        UNION ALL
+        SELECT url, t_unix, v, n_in FROM small
     """
 
     return o

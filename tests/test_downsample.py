@@ -1,0 +1,101 @@
+"""LTTB downsampling vs a literal scalar reference implementation."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from pyrate_spark.operators.downsample import lttb_downsample
+
+BASE = dt.datetime(2024, 1, 1)
+DDL = "url string, warc_ts timestamp, value double"
+
+
+def lttb_ref(t, v, n_out):
+    """Scalar LTTB (Steinarsson 2013, the canonical pseudocode):
+    equal-count interior buckets, next-bucket average anchor, argmax
+    triangle area vs the previously kept point, ties -> earliest."""
+    n = len(t)
+    if n <= n_out:
+        return list(zip(t, v))
+    m = n_out - 2
+    out = [(t[0], v[0])]
+    # interior index u in [0, n-3] maps to point u+1; bucket boundaries
+    lo = [(b * (n - 2)) // m for b in range(m + 1)]
+    prev = (t[0], v[0])
+    for b in range(m):
+        if b + 1 < m:
+            seg = range(lo[b + 1] + 1, lo[b + 2] + 1)
+            nat = sum(t[i] for i in seg) / len(seg)
+            nav = sum(v[i] for i in seg) / len(seg)
+        else:
+            nat, nav = t[n - 1], v[n - 1]
+        best, best_area = None, -1.0
+        for i in range(lo[b] + 1, lo[b + 1] + 1):
+            area = abs((prev[0] - nat) * (v[i] - prev[1])
+                       - (prev[0] - t[i]) * (nav - prev[1]))
+            if area > best_area:
+                best_area, best = area, (t[i], v[i])
+        out.append(best)
+        prev = best
+    out.append((t[n - 1], v[n - 1]))
+    return out
+
+
+def _df(spark, series):
+    rows = [(u, BASE + dt.timedelta(seconds=int(s)), float(x))
+            for u, ts, vs in series for s, x in zip(ts, vs)]
+    return spark.createDataFrame(rows, DDL)
+
+
+def _got(spark, series, n_out):
+    out = (lttb_downsample(_df(spark, series), n_out)
+           .orderBy("url", "t").collect())
+    b0 = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    per = {}
+    for r in out:
+        per.setdefault(r["url"], []).append((r["t"] - b0, r["v"]))
+    return per, {r["url"]: r["n_in"] for r in out}
+
+
+def test_lttb_matches_reference_random(spark):
+    rng = np.random.RandomState(3)
+    series = []
+    for i, n in enumerate((500, 73, 12, 3, 1)):
+        ts = np.sort(rng.choice(10 ** 6, size=n, replace=False))
+        vs = np.round(rng.randn(n) * 50, 3)
+        series.append((f"u{i}", ts.tolist(), vs.tolist()))
+    per, n_in = _got(spark, series, 12)
+    for u, ts, vs in series:
+        want = lttb_ref(ts, vs, 12)
+        assert n_in[u] == len(ts)
+        assert per[u] == [(int(a), b) for a, b in want], u
+        assert len(per[u]) == min(len(ts), 12)
+
+
+def test_lttb_keeps_spikes_mean_rollup_flattens(spark):
+    # flat series with one spike: LTTB must keep the spike point
+    ts = list(range(0, 100000, 100))
+    vs = [1.0] * len(ts)
+    vs[377] = 500.0
+    per, _ = _got(spark, [("s", ts, vs)], 20)
+    assert (ts[377], 500.0) in per["s"]
+    assert per["s"][0] == (ts[0], 1.0)
+    assert per["s"][-1] == (ts[-1], 1.0)
+
+
+def test_lttb_passthrough_and_validation(spark):
+    per, n_in = _got(spark, [("a", [1, 2, 3], [5.0, 6.0, 7.0])], 10)
+    assert per["a"] == [(1, 5.0), (2, 6.0), (3, 7.0)]
+    assert n_in["a"] == 3
+    with pytest.raises(ValueError):
+        lttb_downsample(_df(spark, []), 2)
+
+
+def test_lttb_nulls_dropped(spark):
+    rows = [("a", BASE + dt.timedelta(seconds=s),
+             None if s % 3 == 0 else float(s)) for s in range(60)]
+    df = spark.createDataFrame(rows, DDL)
+    out = lttb_downsample(df, 10).collect()
+    assert len(out) == 10
+    assert all(r["n_in"] == 40 for r in out)
