@@ -279,6 +279,15 @@ add("Regression slope / deriv (r6, PromQL)",
     regression_slope(series, 3600, value_col="value",
                      ts_col="warc_ts"))
 
+from pyrate_spark.operators.downsample import lttb_downsample
+add("LTTB downsample (r6, exact fold)",
+    "One Exchange (groupBy url) collects each series once; bucket "
+    "anchors and the selection recurrence are higher-order column "
+    "algebra over that array — no window, no Python, no second "
+    "shuffle; per-url state bounded by the retention window like the "
+    "ewma/CUSUM/Holt folds.",
+    lttb_downsample(series, 12, value_col="value", ts_col="warc_ts"))
+
 out = ["# PLANS — physical-plan audit of the core operators",
        "",
        "Generated by scripts/gen_plans.py (`df.explain('formatted')` on",

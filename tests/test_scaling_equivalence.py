@@ -35,6 +35,8 @@ cfg = EngineConfig(ts_method=2, ts_pthr=0, velerror_nsig=1, salt_buckets=32)
 tier_rollup(series, "1 hour", 0.5).write.parquet(out + "/rollup")
 timeseries_per_url(pairs, cfg, use_mst=True).write.parquet(out + "/ts")
 stack_rate_per_url(pairs, cfg, use_mst=True).write.parquet(out + "/stack")
+from pyrate_spark.operators.downsample import lttb_downsample
+lttb_downsample(series, 9).write.parquet(out + "/lttb")
 spark.stop()
 """
 
@@ -56,7 +58,8 @@ def test_local2_equals_local8(tmp_path):
     import duckdb
     for product, keys in (("rollup", "url, bucket_start"),
                           ("ts", "url, epoch_id"),
-                          ("stack", "url")):
+                          ("stack", "url"),
+                          ("lttb", "url, t")):
         a = duckdb.sql(
             f"SELECT * FROM read_parquet('{outs[2]}/{product}/*.parquet') "
             f"ORDER BY {keys}").df()
