@@ -1388,6 +1388,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("q95", 6).alias("q95"))
     q["histogram_q95"] = q_histogram_q95
 
+    def q_heartbeat_uptime(spark, sf):
+        """TimescaleDB heartbeat_agg uptime per (url, hour): each
+        sample asserts 6 h of liveness, truncated at the next sample,
+        clipped at hour boundaries (new r6, tail). Pure integer
+        interval algebra -> the gate is exact with no rounding."""
+        from pyrate_spark.operators.metrics import heartbeat_uptime
+        return heartbeat_uptime(_events(spark, sf), 3600, 21600)
+    q["heartbeat_uptime"] = q_heartbeat_uptime
+
     def q_lttb_downsample(spark, sf):
         """LTTB perceptual downsample to 20 points per url (new r6,
         tail): canonical Steinarsson buckets, next-anchor averages as
@@ -1673,7 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "streaming_zscore", "streaming_holt",
             # new r6: PromQL/TimescaleDB derived-metric family + LTTB
             "time_weighted_hourly", "deriv_hourly", "irate_hourly",
-            "histogram_q95", "lttb_downsample"]
+            "histogram_q95", "lttb_downsample", "heartbeat_uptime"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3452,6 +3461,37 @@ def oracle_sql() -> dict[str, str]:
         FROM sel s JOIN firstpt f ON f.url = s.url
         UNION ALL
         SELECT url, t_unix, v, n_in FROM small
+    """
+
+    # heartbeat_agg uptime (new r6): union of per-sample liveness
+    # intervals (6 h each, truncated at the next sample, the last
+    # sample untruncated), split at hour boundaries — exact integer
+    # interval algebra on both sides, no rounding anywhere
+    o["heartbeat_uptime"] = f"""
+        WITH e AS (
+            SELECT url,
+                   CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT)
+                       AS t
+            FROM ({_events_sql()})),
+        s AS (SELECT url, t,
+                     lead(t) OVER (PARTITION BY url ORDER BY t) AS tn
+              FROM e),
+        seg AS (SELECT url, t,
+                       least(t + 21600, COALESCE(tn, t + 21600)) AS e
+                FROM s),
+        seg2 AS (SELECT * FROM seg WHERE e > t),
+        x AS (SELECT url, t, e,
+                     unnest(generate_series(t // 3600,
+                                            (e - 1) // 3600)) AS k
+              FROM seg2),
+        c AS (SELECT url, k * 3600 AS bucket_start,
+                     least(e, (k + 1) * 3600)
+                         - greatest(t, k * 3600) AS dt
+              FROM x)
+        SELECT url, bucket_start,
+               CAST(sum(dt) AS BIGINT) AS uptime_sec,
+               CAST(sum(dt) AS BIGINT) / 3600.0 AS uptime_frac
+        FROM c GROUP BY url, bucket_start
     """
 
     return o

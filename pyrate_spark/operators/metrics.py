@@ -107,6 +107,52 @@ def time_weighted_avg(series_df: DataFrame, bucket_sec: int,
             .select("url", "bucket_start", "value_twa", "covered_sec"))
 
 
+def heartbeat_uptime(series_df: DataFrame, bucket_sec: int,
+                     heartbeat_sec: int,
+                     ts_col: str = "warc_ts") -> DataFrame:
+    """Liveness / uptime per (url, bucket) — TimescaleDB
+    ``heartbeat_agg`` semantics (public docs): every observed sample
+    asserts liveness for the next ``heartbeat_sec`` seconds; the
+    bucket's uptime is the union of those intervals clipped to the
+    bucket. Overlaps never double-count (each sample's interval is
+    truncated at the next sample), so ``uptime_sec`` is exact integer
+    interval algebra and ``uptime_frac = uptime_sec / bucket_sec`` is
+    a ratio of exact integers — the gate needs NO rounding. The LAST
+    sample of a url also asserts ``heartbeat_sec`` of liveness (there
+    is no next sample to truncate it).
+
+    Same execution shape as ``time_weighted_avg``: one Exchange on
+    url for the lead() window, a bucket-split explode bounded by
+    ``heartbeat_sec / bucket_sec`` rows per sample, one hash
+    aggregation on (url, bucket).
+    """
+    if bucket_sec < 1:
+        raise ValueError(f"bucket_sec must be >= 1, got {bucket_sec}")
+    if heartbeat_sec < 1:
+        raise ValueError(
+            f"heartbeat_sec must be >= 1, got {heartbeat_sec}")
+    W, H = int(bucket_sec), int(heartbeat_sec)
+    t = series_df.select("url", _epoch_col(series_df, ts_col)
+                         .alias("_t")).where(F.col("_t").isNotNull())
+    w = Window.partitionBy("url").orderBy("_t")
+    t = (t.withColumn("_tn", F.lead("_t").over(w))
+          .withColumn("_e", F.least(F.col("_t") + H,
+                                    F.coalesce("_tn",
+                                               F.col("_t") + H)))
+          .where(F.col("_e") > F.col("_t")))
+    t = t.withColumn(
+        "_k", F.explode(F.sequence(
+            F.floor(F.col("_t") / W).cast("long"),
+            F.floor((F.col("_e") - 1) / W).cast("long"))))
+    a = F.greatest(F.col("_t"), F.col("_k") * W)
+    b = F.least(F.col("_e"), (F.col("_k") + 1) * W)
+    return (t.groupBy("url", (F.col("_k") * W).alias("bucket_start"))
+            .agg(F.sum(b - a).cast("long").alias("uptime_sec"))
+            .select("url", "bucket_start", "uptime_sec",
+                    (F.col("uptime_sec") / F.lit(float(W)))
+                    .alias("uptime_frac")))
+
+
 def regression_slope(series_df: DataFrame, bucket_sec: int,
                      value_col: str = "value",
                      ts_col: str = "warc_ts") -> DataFrame:

@@ -97,6 +97,36 @@ def test_twa_matches_numpy_reference(spark, events_small):
                                                          rel=1e-9)
 
 
+# ------------------------------------------------------------ heartbeat
+
+def test_heartbeat_uptime_union_and_edges(spark):
+    from pyrate_spark.operators.metrics import heartbeat_uptime
+    # H = 600 s: samples at 0 and 300 overlap (no double count),
+    # sample at 3500 straddles the hour boundary, last sample extends
+    rows = _rows([("a", 0, 1.0), ("a", 300, 1.0), ("a", 3500, 1.0)])
+    got = {r["bucket_start"] - B0: (r["uptime_sec"], r["uptime_frac"])
+           for r in heartbeat_uptime(
+               spark.createDataFrame(rows, DDL), 3600, 600).collect()}
+    # [0,300)+[300,900) = 900, then [3500,3600) = 100 -> 1000 in h0
+    assert got[0] == (1000, 1000 / 3600)
+    # last sample spills [3600, 4100) into h1
+    assert got[3600] == (500, 500 / 3600)
+    with pytest.raises(ValueError):
+        heartbeat_uptime(spark.createDataFrame(rows, DDL), 3600, 0)
+
+
+def test_heartbeat_uptime_full_coverage(spark):
+    from pyrate_spark.operators.metrics import heartbeat_uptime
+    rows = _rows([("a", s, 1.0) for s in range(0, 7200, 60)])
+    got = {r["bucket_start"] - B0: r["uptime_frac"]
+           for r in heartbeat_uptime(
+               spark.createDataFrame(rows, DDL), 3600, 120).collect()}
+    assert got[0] == 1.0
+    # h1's last sample (7140) extends 120 s -> 3660 of cover, clipped
+    assert got[3600] == 1.0
+    assert got[7200] == pytest.approx(60 / 3600)
+
+
 # ---------------------------------------------------------------- deriv
 
 def test_regression_slope_exact_line_and_guards(spark):
