@@ -1412,6 +1412,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_in"))
     q["lttb_downsample"] = q_lttb_downsample
 
+    def q_swinging_door(spark, sf):
+        """Swinging-door (SDT) compression per url, tolerance 5.0
+        (new r6, tail): deterministic door recurrence, replayed
+        step-for-step by a DuckDB recursive CTE — bit-exact, no
+        rounding (same gate construction as lttb_downsample)."""
+        from pyrate_spark.operators.downsample import swinging_door
+        e = (_events(spark, sf)
+             .withColumn("value", F.round("value", 5)))
+        return swinging_door(e, 5.0).select(
+            "url", F.col("t").alias("t_unix"), F.col("v"),
+            F.col("n_in"))
+    q["swinging_door"] = q_swinging_door
+
     def q_quicklook_classmap(spark, sf):
         """S9 quicklook colour maths (merge.py:195-231): per-url mean
         rate, symmetric blue-white-red 255-entry relief, nearest-entry
@@ -1682,7 +1695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "streaming_zscore", "streaming_holt",
             # new r6: PromQL/TimescaleDB derived-metric family + LTTB
             "time_weighted_hourly", "deriv_hourly", "irate_hourly",
-            "histogram_q95", "lttb_downsample", "heartbeat_uptime"]
+            "histogram_q95", "lttb_downsample", "heartbeat_uptime",
+            "swinging_door"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3456,6 +3470,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, bt, bv FROM rec WHERE i = n - 1
             UNION ALL
             SELECT url, lt, lv FROM lastpt)
+        SELECT s.url, CAST(s.t AS BIGINT) AS t_unix, s.v AS v,
+               f.n AS n_in
+        FROM sel s JOIN firstpt f ON f.url = s.url
+        UNION ALL
+        SELECT url, t_unix, v, n_in FROM small
+    """
+
+    # swinging-door (new r6): same recursive-replay construction as
+    # the LTTB gate; operand order mirrors the Spark fold exactly
+    _S_NH = "((e.v + 5.0 - r.pav) / (e.t - r.pat))"
+    _S_NL = "((e.v - 5.0 - r.pav) / (e.t - r.pat))"
+    _S_SH2 = f"least(r.sh, {_S_NH})"
+    _S_SL2 = f"greatest(r.sl, {_S_NL})"
+    _S_X = f"({_S_SL2} > {_S_SH2})"
+    _S_RH = "((e.v + 5.0 - r.phv) / (e.t - r.pht))"
+    _S_RL = "((e.v - 5.0 - r.phv) / (e.t - r.pht))"
+    o["swinging_door"] = f"""
+        WITH RECURSIVE
+        pts AS (SELECT url, t, v,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY t) AS i,
+                       count(*) OVER (PARTITION BY url) AS n
+                FROM ({_EB})),
+        small AS (SELECT url, t AS t_unix, v, n AS n_in
+                  FROM pts WHERE n <= 2),
+        big AS (SELECT url, CAST(t AS DOUBLE) AS t, v, i, n
+                FROM pts WHERE n > 2),
+        firstpt AS (SELECT url, t AS ft, v AS fv, n
+                    FROM big WHERE i = 1),
+        rec AS (
+            SELECT e.url, e.i, e.n,
+                   f.ft AS pat, f.fv AS pav,
+                   ((e.v + 5.0 - f.fv) / (e.t - f.ft)) AS sh,
+                   ((e.v - 5.0 - f.fv) / (e.t - f.ft)) AS sl,
+                   e.t AS pht, e.v AS phv,
+                   CAST(NULL AS DOUBLE) AS et,
+                   CAST(NULL AS DOUBLE) AS ev
+            FROM big e JOIN firstpt f ON f.url = e.url
+            WHERE e.i = 2
+            UNION ALL
+            SELECT e.url, e.i, e.n,
+                   CASE WHEN {_S_X} THEN r.pht ELSE r.pat END,
+                   CASE WHEN {_S_X} THEN r.phv ELSE r.pav END,
+                   CASE WHEN {_S_X} THEN {_S_RH} ELSE {_S_SH2} END,
+                   CASE WHEN {_S_X} THEN {_S_RL} ELSE {_S_SL2} END,
+                   e.t, e.v,
+                   CASE WHEN {_S_X} THEN r.pht END,
+                   CASE WHEN {_S_X} THEN r.phv END
+            FROM rec r JOIN big e
+              ON e.url = r.url AND e.i = r.i + 1),
+        sel AS (
+            SELECT url, ft AS t, fv AS v FROM firstpt
+            UNION ALL
+            SELECT url, et, ev FROM rec WHERE et IS NOT NULL
+            UNION ALL
+            SELECT url, pht, phv FROM rec WHERE i = n)
         SELECT s.url, CAST(s.t AS BIGINT) AS t_unix, s.v AS v,
                f.n AS n_in
         FROM sel s JOIN firstpt f ON f.url = s.url

@@ -133,6 +133,95 @@ _FOLD = f"""
 """
 
 
+_SDT_NH = "((x.v + {e} - acc.pav) / (x.t - acc.pat))"
+_SDT_NL = "((x.v - {e} - acc.pav) / (x.t - acc.pat))"
+_SDT_SH2 = f"least(acc.sh, {_SDT_NH})"
+_SDT_SL2 = f"greatest(acc.sl, {_SDT_NL})"
+_SDT_X = f"({_SDT_SL2} > {_SDT_SH2})"
+_SDT_RH = "((x.v + {e} - acc.phv) / (x.t - acc.pht))"
+_SDT_RL = "((x.v - {e} - acc.phv) / (x.t - acc.pht))"
+
+_SDT_FOLD = f"""
+    CASE WHEN _n <= 2 THEN
+        transform(_s, p -> struct(p.t AS t, p.v AS v))
+    ELSE
+    aggregate(
+        slice(_s, 2, _n - 1),
+        struct(element_at(_s, 1).t AS pat, element_at(_s, 1).v AS pav,
+               CAST('Infinity' AS DOUBLE) AS sh,
+               CAST('-Infinity' AS DOUBLE) AS sl,
+               element_at(_s, 1).t AS pht, element_at(_s, 1).v AS phv,
+               array(struct(element_at(_s, 1).t AS t,
+                            element_at(_s, 1).v AS v)) AS out),
+        (acc, x) -> struct(
+            CASE WHEN {_SDT_X} THEN acc.pht ELSE acc.pat END AS pat,
+            CASE WHEN {_SDT_X} THEN acc.phv ELSE acc.pav END AS pav,
+            CASE WHEN {_SDT_X} THEN {_SDT_RH} ELSE {_SDT_SH2} END
+                AS sh,
+            CASE WHEN {_SDT_X} THEN {_SDT_RL} ELSE {_SDT_SL2} END
+                AS sl,
+            x.t AS pht, x.v AS phv,
+            CASE WHEN {_SDT_X}
+                 THEN array_append(acc.out, struct(acc.pht AS t,
+                                                   acc.phv AS v))
+                 ELSE acc.out END AS out),
+        acc -> concat(acc.out, array(struct(acc.pht AS t,
+                                            acc.phv AS v))))
+    END
+"""
+
+
+def swinging_door(series_df: DataFrame, tolerance: float,
+                  value_col: str = "value",
+                  ts_col: str = "warc_ts") -> DataFrame:
+    """Swinging-door trending (SDT) compression per url — the
+    industrial-historian standard (Bristol 1990; the OSIsoft PI
+    "compression deviation" algorithm, public): archive the minimal
+    subset of points such that the line between consecutive archived
+    points stays within ``tolerance`` of every dropped point. Two
+    "door" slopes from the last archived point (through each new
+    point ±tolerance) narrow monotonically; when they cross, the
+    PREVIOUSLY held point is archived and the doors reset from it.
+    First and last points are always archived. Error contract (the
+    classic algorithm's, pinned by test): the archived polyline stays
+    within **2 x tolerance** of every dropped point — the door
+    interval certifies a line within tolerance of all seen points and
+    the archived segment differs from it by at most tolerance at the
+    held point; pass ``tolerance = E / 2`` for a strict E guarantee.
+
+    Where LTTB keeps a fixed budget of visually-dominant points, SDT
+    keeps a variable number bounded by an error guarantee — the two
+    standard lossy-downsample contracts, side by side. Same execution
+    shape and determinism story as ``lttb_downsample``: one Exchange,
+    one O(n) JVM ``aggregate`` fold, every operand and comparison
+    order fixed, replayed step-for-step by the DuckDB oracle.
+
+    Returns (url, t, v, n_in) — ``t`` epoch seconds (long), one row
+    per archived point; series with <= 2 points pass through whole.
+    """
+    if not tolerance >= 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    t_expr = _as_seconds(F.col(ts_col),
+                         series_df.schema[ts_col].dataType,
+                         f"ts_col {ts_col!r}").cast("long")
+    obs = (series_df.where(F.col(value_col).isNotNull())
+           .select("url", t_expr.alias("_t"),
+                   F.col(value_col).cast("double").alias("_v"))
+           .groupBy("url")
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col("_t").cast("double").alias("t"),
+               F.col("_v").alias("v")))).alias("_s")))
+    e = f"CAST({float(tolerance)!r} AS DOUBLE)"
+    return (obs.withColumn("_n", F.size("_s"))
+            .select("url", F.col("_n").cast("long").alias("n_in"),
+                    F.explode(F.expr(_SDT_FOLD.format(e=e)))
+                    .alias("_p"))
+            .select("url",
+                    F.col("_p.t").cast("long").alias("t"),
+                    F.col("_p.v").alias("v"),
+                    "n_in"))
+
+
 def lttb_downsample(series_df: DataFrame, n_out: int,
                     value_col: str = "value",
                     ts_col: str = "warc_ts") -> DataFrame:

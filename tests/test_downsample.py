@@ -92,6 +92,77 @@ def test_lttb_passthrough_and_validation(spark):
         lttb_downsample(_df(spark, []), 2)
 
 
+def sdt_ref(t, v, E):
+    """Scalar swinging-door reference (Bristol 1990 pseudocode)."""
+    n = len(t)
+    if n <= 2:
+        return list(zip(t, v))
+    out = [(t[0], v[0])]
+    pat, pav = float(t[0]), v[0]
+    pht, phv = float(t[0]), v[0]
+    sh, sl = float("inf"), float("-inf")
+    for i in range(1, n):
+        x_t, x_v = float(t[i]), v[i]
+        nh = (x_v + E - pav) / (x_t - pat)
+        nl = (x_v - E - pav) / (x_t - pat)
+        sh2, sl2 = min(sh, nh), max(sl, nl)
+        if sl2 > sh2:
+            out.append((pht, phv))
+            pat, pav = pht, phv
+            sh = (x_v + E - pav) / (x_t - pat)
+            sl = (x_v - E - pav) / (x_t - pat)
+        else:
+            sh, sl = sh2, sl2
+        pht, phv = x_t, x_v
+    out.append((pht, phv))
+    return [(int(a), b) for a, b in out]
+
+
+def test_sdt_matches_reference_and_error_bound(spark):
+    from pyrate_spark.operators.downsample import swinging_door
+    rng = np.random.RandomState(9)
+    series = []
+    for i, n in enumerate((400, 60, 7, 2)):
+        ts = np.sort(rng.choice(10 ** 6, size=n, replace=False))
+        vs = np.round(np.cumsum(rng.randn(n)), 3)   # a random walk
+        series.append((f"u{i}", ts.tolist(), vs.tolist()))
+    E = 1.5
+    out = (swinging_door(_df(spark, series), E)
+           .orderBy("url", "t").collect())
+    b0 = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    per = {}
+    for r in out:
+        per.setdefault(r["url"], []).append((r["t"] - b0, r["v"]))
+    for u, ts, vs in series:
+        assert per[u] == sdt_ref(ts, vs, E), u
+        # the classic-SDT contract: the archived polyline stays within
+        # 2E of every original point (the door interval certifies a
+        # line within E of all points; the archived segment agrees
+        # with it at the pivot and differs by <= E at the held point,
+        # so the triangle inequality gives 2E — the documented bound)
+        at = np.array([p[0] for p in per[u]], dtype=float)
+        av = np.array([p[1] for p in per[u]], dtype=float)
+        interp = np.interp(np.asarray(ts, dtype=float), at, av)
+        assert np.max(np.abs(interp - np.asarray(vs))) <= 2 * E + 1e-9, u
+        assert len(per[u]) <= len(ts)
+    # compression actually happened on the smooth-ish walk
+    assert len(per["u0"]) < 400
+
+
+def test_sdt_straight_line_keeps_two_points(spark):
+    from pyrate_spark.operators.downsample import swinging_door
+    ts = list(range(0, 5000, 50))
+    vs = [0.5 * s + 3.0 for s in ts]
+    out = (swinging_door(_df(spark, [("l", ts, vs)]), 0.01)
+           .orderBy("t").collect())
+    b0 = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert [r["t"] - b0 for r in out] == [0, 4950]
+    assert len(out) == 2                       # first + last only
+    assert all(r["n_in"] == len(ts) for r in out)
+    with pytest.raises(ValueError):
+        swinging_door(_df(spark, [("l", ts, vs)]), -1.0)
+
+
 def test_lttb_nulls_dropped(spark):
     rows = [("a", BASE + dt.timedelta(seconds=s),
              None if s % 3 == 0 else float(s)) for s in range(60)]
