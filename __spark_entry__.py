@@ -1693,10 +1693,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # registered straight to tail; each is pinned bit-equal to
             # its in-suite batch sibling by a two-pass split pytest
             "streaming_zscore", "streaming_holt",
-            # new r6: PromQL/TimescaleDB derived-metric family + LTTB
-            "time_weighted_hourly", "deriv_hourly", "irate_hourly",
-            "histogram_q95", "lttb_downsample", "heartbeat_uptime",
-            "swinging_door"]
+            # r6 rotation: hard-gate four r6 flagships
+            # (lttb_downsample, swinging_door, time_weighted_hourly,
+            # irate_hourly move in-window) by retiring four
+            # previously-driver-green entries that an in-window
+            # sibling still gates, per the r4/r5 rotation discipline:
+            #   sequential_pairs — the pair machinery (J5) stays
+            #     gated by in-window network_pairs, which subsumes the
+            #     lag construction in its bounded range self-join
+            #   ref_median — the P10 median re-levelling math is the
+            #     deg-0 leg of in-window orbital_detrend
+            #   timeseries_chain — the SVD inversion (T3) runs inside
+            #     in-window fused_rates (bit-equal two-stage vs fused
+            #     pinned by tests/test_fused_rates.py)
+            #   dedup_exact — the md5 exact-dup groupBy is the exact
+            #     VERIFY leg inside both in-window jaccard_capped and
+            #     minhash_lsh near-dup gates
+            # all four keep their full value-hash gates here in the
+            # tail (check_oracles runs the whole suite)
+            "sequential_pairs", "ref_median", "timeseries_chain",
+            "dedup_exact",
+            # remaining r6 family in the tail, every one oracle-gated
+            "deriv_hourly", "histogram_q95", "heartbeat_uptime"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
