@@ -321,6 +321,17 @@ def main():
         meta["derived_metrics_rows_per_sec"] = round(
             3 * n_raw / max(timings["derived_metrics"], 1e-9))
 
+    # ---- lossy downsamples: LTTB + swinging-door (new r6 stage) ----
+    if _want("downsample_suite"):
+        from pyrate_spark.operators.downsample import (lttb_downsample,
+                                                       swinging_door)
+        n_raw = series.count()
+        timed("downsample_suite",
+              lambda: (lttb_downsample(series, 50).count()
+                       + swinging_door(series, 2.0).count()))
+        meta["downsample_rows_per_sec"] = round(
+            2 * n_raw / max(timings["downsample_suite"], 1e-9))
+
     series.unpersist()
 
     # ---- driver tables ----
