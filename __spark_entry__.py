@@ -1388,6 +1388,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("q95", 6).alias("q95"))
     q["histogram_q95"] = q_histogram_q95
 
+    def q_streaming_seasonal(spark, sf):
+        """Stream-static seasonal residual twin (new r6, tail): tier
+        rows scored against the batch-derived (url, hod) profile via
+        a native stream-static join, one availableNow pass == the
+        batch seasonal_baseline == the DuckDB oracle (rounded-
+        baseline residual policy identical to seasonal_residual)."""
+        from pyrate_spark.operators.anomaly import seasonal_profile
+        from pyrate_spark.streaming.corrections import (
+            streaming_seasonal)
+        t = (tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+             .withColumn("value_avg", F.round("value_avg", 5))
+             .withColumn("bucket_start", _u("bucket_start"))
+             .select("url", "bucket_start", "value_avg"))
+        profile = seasonal_profile(t, ts_col="bucket_start")
+        out = _run_stateful_once(
+            spark, t, lambda s: streaming_seasonal(s, profile),
+            "url string, bucket_start long, value_avg double")
+        return out.select("url",
+                          F.col("bucket_start").alias("bucket_unix"),
+                          "value_avg",
+                          F.col("hod").cast("int").alias("hod"),
+                          F.round("baseline", 5).alias("baseline"),
+                          F.round(F.col("value_avg")
+                                  - F.round("baseline", 5), 5)
+                          .alias("residual"),
+                          F.col("n_profile"))
+    q["streaming_seasonal"] = q_streaming_seasonal
+
     def q_heartbeat_uptime(spark, sf):
         """TimescaleDB heartbeat_agg uptime per (url, hour): each
         sample asserts 6 h of liveness, truncated at the next sample,
@@ -1714,7 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sequential_pairs", "ref_median", "timeseries_chain",
             "dedup_exact",
             # remaining r6 family in the tail, every one oracle-gated
-            "deriv_hourly", "histogram_q95", "heartbeat_uptime"]
+            "deriv_hourly", "histogram_q95", "heartbeat_uptime",
+            "streaming_seasonal"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3284,6 +3313,7 @@ def oracle_sql() -> dict[str, str]:
     # the gate still independently recomputes every value in DuckDB
     o["streaming_zscore"] = o["anomaly_zscore_hourly"]
     o["streaming_holt"] = o["holt_forecast"]
+    o["streaming_seasonal"] = o["seasonal_residual"]
 
 
     # PromQL/TimescaleDB derived metrics (new r6). Shared base: the

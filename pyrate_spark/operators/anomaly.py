@@ -94,6 +94,30 @@ def seasonal_baseline(tier_df: DataFrame,
     The group is bounded by the retention window, so the O(group)
     fold is a constant, not a scale axis.
     """
+    prof = seasonal_profile(tier_df, value_col=value_col,
+                            ts_col=ts_col)
+    hod = _hour_of_day(tier_df, ts_col)
+    t = (tier_df.where(F.col(value_col).isNotNull())
+         .withColumn("hod", hod))
+    return (t.join(prof, ["url", "hod"])
+            .select("url", ts_col, F.col(value_col),
+                    F.col("hod"),
+                    F.col("baseline"),
+                    (F.col(value_col) - F.col("baseline"))
+                    .alias("residual"),
+                    F.col("n_profile")))
+
+
+def seasonal_profile(tier_df: DataFrame,
+                     value_col: str = "value_avg",
+                     ts_col: str = "bucket_start") -> DataFrame:
+    """The (url, hod) -> (baseline, n_profile) profile table behind
+    ``seasonal_baseline``, exposed on its own so a STREAMING scorer
+    can join against it (stream-static join — the profile is the
+    fixed reference a one-pass detector must use, exactly like
+    ``cusum_changepoint``'s ``target``). The mean is the same exact
+    bucket-ordered fold, so a profile computed here is bit-identical
+    to the one the batch operator uses."""
     hod = _hour_of_day(tier_df, ts_col)
     t = (tier_df.where(F.col(value_col).isNotNull())
          .withColumn("hod", hod))
@@ -103,15 +127,8 @@ def seasonal_baseline(tier_df: DataFrame,
                 F.col(value_col).alias("v")))).alias("_prof")))
     n = F.size("_prof")
     s = F.aggregate("_prof", F.lit(0.0), lambda a, x: a + x["v"])
-    prof = prof.select("url", "hod", (s / n).alias("baseline"),
+    return prof.select("url", "hod", (s / n).alias("baseline"),
                        n.cast("long").alias("n_profile"))
-    return (t.join(prof, ["url", "hod"])
-            .select("url", ts_col, F.col(value_col),
-                    F.col("hod"),
-                    F.col("baseline"),
-                    (F.col(value_col) - F.col("baseline"))
-                    .alias("residual"),
-                    F.col("n_profile")))
 
 
 def cusum_changepoint(tier_df: DataFrame, k: float = 0.5,

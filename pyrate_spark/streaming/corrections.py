@@ -21,7 +21,7 @@ from __future__ import annotations
 from typing import Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pyrate_spark.config import EngineConfig, DEFAULT
@@ -263,6 +263,31 @@ def streaming_holt(tier_stream: DataFrame, alpha: float = 0.5,
                 _holt_fn(float(alpha), float(beta)),
                 HOLT_OUT, HOLT_STATE,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_seasonal(tier_stream: DataFrame,
+                       profile_df: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/anomaly.seasonal_baseline``:
+    score arriving tier rows against a PRECOMPUTED (url, hour-of-day)
+    profile via Spark's native stream-static join — the fixed-
+    reference form a one-pass detector must use (the ``target``
+    pattern from streaming_cusum, with the whole profile table as the
+    target). ``profile_df`` comes from
+    ``operators/anomaly.seasonal_profile`` over the retained batch
+    tier; rows joined against the same profile the batch operator
+    derives are bit-identical to its output. The static side is
+    url x 24 rows — broadcast-friendly; no state, no watermark, and
+    the stream side never shuffles when the profile broadcasts."""
+    from pyrate_spark.operators.anomaly import _hour_of_day
+    t = (tier_stream.where(F.col("value_avg").isNotNull())
+         .withColumn("hod", _hour_of_day(tier_stream, "bucket_start")))
+    p = profile_df.select("url", "hod", "baseline", "n_profile")
+    return (t.join(p, ["url", "hod"])
+            .select("url", "bucket_start", "value_avg", "hod",
+                    "baseline",
+                    (F.col("value_avg") - F.col("baseline"))
+                    .alias("residual"),
+                    "n_profile"))
 
 
 def run_correct_stream(series_stream: DataFrame, out_path: str,

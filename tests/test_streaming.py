@@ -353,6 +353,50 @@ def test_streaming_zscore_holt_validate_args(spark):
         streaming_holt(None, beta=1.5)
 
 
+def test_streaming_seasonal_matches_batch(spark, tmp_path):
+    """Stream-static residual scoring against the batch-derived
+    profile, across TWO availableNow passes == the batch
+    seasonal_baseline on the same data, bit-for-bit (the profile is
+    bit-identical by construction; the join adds no arithmetic)."""
+    from pyrate_spark.operators.anomaly import (seasonal_baseline,
+                                                seasonal_profile)
+    from pyrate_spark.streaming.corrections import streaming_seasonal
+
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    rows = _tier_rows([("a", h, 10.0 + (h % 24) + 0.01 * h)
+                       for h in range(72)]
+                      + [("b", h, 50.0 - (h % 24)) for h in range(48)]
+                      + [("b", 48, None)])
+    batch = spark.createDataFrame(rows, TIER_DDL)
+    profile = seasonal_profile(batch)
+
+    half = len(rows) // 2
+    for part in (rows[:half], rows[half:]):
+        spark.createDataFrame(part, TIER_DDL).write.mode("append") \
+            .parquet(src)
+        stream = (spark.readStream.schema(TIER_DDL)
+                  .option("maxFilesPerTrigger", "8").parquet(src))
+        q = (streaming_seasonal(stream, profile)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    cols = ["url", "bucket_start", "hod", "baseline", "residual",
+            "n_profile"]
+    got = (spark.read.parquet(out).orderBy("url", "bucket_start")
+           .select(*cols).toPandas())
+    want = (seasonal_baseline(batch)
+            .orderBy("url", "bucket_start").select(*cols).toPandas())
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["hod"].tolist() == want["hod"].tolist()
+    assert got["n_profile"].tolist() == want["n_profile"].tolist()
+    for c in ("baseline", "residual"):
+        assert (got[c].to_numpy(float) == want[c].to_numpy(float)).all()
+
+
 def test_streaming_cusum_rejects_bad_sigma(spark):
     from pyrate_spark.streaming.corrections import streaming_cusum
     with pytest.raises(ValueError):
