@@ -1425,6 +1425,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return heartbeat_uptime(_events(spark, sf), 3600, 21600)
     q["heartbeat_uptime"] = q_heartbeat_uptime
 
+    def q_gap_detect(spark, sf):
+        """Dead-time gaps per url under the 6 h liveness rule (new
+        r6, tail) — the complement of heartbeat_uptime. Exact integer
+        interval algebra, no rounding."""
+        from pyrate_spark.operators.metrics import gap_detect
+        return gap_detect(_events(spark, sf), 21600)
+    q["gap_detect"] = q_gap_detect
+
     def q_lttb_downsample(spark, sf):
         """LTTB perceptual downsample to 20 points per url (new r6,
         tail): canonical Steinarsson buckets, next-anchor averages as
@@ -1743,7 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact",
             # remaining r6 family in the tail, every one oracle-gated
             "deriv_hourly", "histogram_q95", "heartbeat_uptime",
-            "streaming_seasonal"]
+            "streaming_seasonal", "gap_detect"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3314,6 +3322,24 @@ def oracle_sql() -> dict[str, str]:
     o["streaming_zscore"] = o["anomaly_zscore_hourly"]
     o["streaming_holt"] = o["holt_forecast"]
     o["streaming_seasonal"] = o["seasonal_residual"]
+
+    # gap detection (new r6): interior dead intervals under the same
+    # liveness rule as heartbeat_uptime — exact integers, no rounding
+    o["gap_detect"] = f"""
+        WITH e AS (
+            SELECT url,
+                   CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT)
+                       AS t
+            FROM ({_events_sql()})),
+        s AS (SELECT url, t,
+                     lead(t) OVER (PARTITION BY url ORDER BY t) AS tn
+              FROM e)
+        SELECT url,
+               t + 21600 AS gap_start,
+               tn AS gap_end,
+               tn - t - 21600 AS gap_sec
+        FROM s WHERE tn > t + 21600
+    """
 
 
     # PromQL/TimescaleDB derived metrics (new r6). Shared base: the

@@ -153,6 +153,37 @@ def heartbeat_uptime(series_df: DataFrame, bucket_sec: int,
                     .alias("uptime_frac")))
 
 
+def gap_detect(series_df: DataFrame, heartbeat_sec: int,
+               ts_col: str = "warc_ts") -> DataFrame:
+    """Dead-time intervals per url — the complement of
+    ``heartbeat_uptime`` (TimescaleDB ``state_agg`` downtime /
+    Prometheus ``absent()`` analog): under the same liveness rule
+    (each sample asserts ``heartbeat_sec`` of liveness), a GAP opens
+    at ``t_i + heartbeat_sec`` whenever the next sample arrives later
+    than that, and closes at the next sample. Emits one row per gap
+    with exact integer bounds — trailing gaps (after the last sample)
+    are a monitoring-time question, not a data question, so none are
+    emitted.
+
+    One Exchange on url for the lead() window, then a filter — rows
+    out are at most rows in. Exact integer interval algebra end to
+    end; the gate needs no rounding.
+    """
+    if heartbeat_sec < 1:
+        raise ValueError(
+            f"heartbeat_sec must be >= 1, got {heartbeat_sec}")
+    H = int(heartbeat_sec)
+    t = series_df.select("url", _epoch_col(series_df, ts_col)
+                         .alias("_t")).where(F.col("_t").isNotNull())
+    w = Window.partitionBy("url").orderBy("_t")
+    t = (t.withColumn("_tn", F.lead("_t").over(w))
+          .where(F.col("_tn") > F.col("_t") + H))
+    return t.select("url",
+                    (F.col("_t") + H).alias("gap_start"),
+                    F.col("_tn").alias("gap_end"),
+                    (F.col("_tn") - F.col("_t") - H).alias("gap_sec"))
+
+
 def regression_slope(series_df: DataFrame, bucket_sec: int,
                      value_col: str = "value",
                      ts_col: str = "warc_ts") -> DataFrame:

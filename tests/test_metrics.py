@@ -127,6 +127,27 @@ def test_heartbeat_uptime_full_coverage(spark):
     assert got[7200] == pytest.approx(60 / 3600)
 
 
+def test_gap_detect_complements_uptime(spark):
+    from pyrate_spark.operators.metrics import gap_detect, \
+        heartbeat_uptime
+    rows = _rows([("a", 0, 1.0), ("a", 300, 1.0), ("a", 5000, 1.0),
+                  ("a", 5100, 1.0), ("b", 0, 1.0)])
+    gaps = gap_detect(spark.createDataFrame(rows, DDL), 600).collect()
+    assert len(gaps) == 1
+    g = gaps[0]
+    assert (g["gap_start"] - B0, g["gap_end"] - B0, g["gap_sec"]) \
+        == (900, 5000, 4100)
+    # complement over the observed span [first, last]: uptime + gaps
+    # cover it exactly (last sample's H extends past the span)
+    up = heartbeat_uptime(spark.createDataFrame(rows, DDL),
+                          10 ** 6, 600).collect()
+    a_up = sum(r["uptime_sec"] for r in up if r["url"] == "a")
+    span = 5100 + 600                  # last sample extends H
+    assert a_up + g["gap_sec"] == span
+    with pytest.raises(ValueError):
+        gap_detect(spark.createDataFrame(rows, DDL), 0)
+
+
 # ---------------------------------------------------------------- deriv
 
 def test_regression_slope_exact_line_and_guards(spark):
