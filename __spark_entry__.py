@@ -693,7 +693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = q_dedup_exact
 
     def q_dedup_jaccard(spark, sf):
-        return dd.jaccard_pairs(_docs(spark, sf), threshold=0.5)
+        """Uncapped exact baseline (tail oracle twin): the quadratic
+        candidate join is an explicit ``max_df=None`` opt-out — the
+        operator's DEFAULT is the DF-capped scale path (r7)."""
+        return dd.jaccard_pairs(_docs(spark, sf), threshold=0.5,
+                                max_df=None)
     q["dedup_jaccard"] = q_dedup_jaccard
 
     def q_dedup_jaccard_capped(spark, sf):
