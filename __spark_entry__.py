@@ -672,6 +672,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           q5("az"), F.col("rg").cast("long").alias("rg"))
     q["lookup_join"] = q_lookup_join
 
+    def _geometry_grid(spark, sf):
+        """The S10 (day, hour) grid with deterministic geometry inputs:
+        rg from the per-cell observation count (bounded mod 97 so the
+        triangle stays physical at every sf), az linear-in-time mod the
+        azimuth image length, lon/lat/height pure grid algebra."""
+        e = _events(spark, sf)
+        d0 = e.agg(F.min(F.floor(F.unix_timestamp("warc_ts") / 86400))
+                   .cast("long").alias("d0"))
+        cells = (e.crossJoin(F.broadcast(d0))
+                 .select((F.floor(F.unix_timestamp("warc_ts") / 86400)
+                          - F.col("d0")).cast("long").alias("y"),
+                         F.hour("warc_ts").cast("long").alias("x"),
+                         "value"))
+        lt = cells.groupBy("y", "x").agg(F.count("value").alias("n"))
+        return lt.select(
+            "y", "x",
+            F.pmod("n", F.lit(97)).cast("double").alias("rg"),
+            F.pmod(F.col("x") + F.col("y") * 24, F.lit(1000))
+            .cast("double").alias("az"),
+            (F.lit(110.0) + F.col("x") * 0.05).alias("lon_deg"),
+            (F.lit(-30.0) - F.col("y") * 0.05).alias("lat_deg"),
+            (F.col("y") * 50.0 + F.col("x") * 10.0).alias("dem_height"))
+
+    def q_pixel_geometry(spark, sf):
+        """Derived per-pixel radar geometry (geometry.py:123-345, new
+        r7): earth radius -> range distance -> look/incidence angles
+        (law of cosines) -> satellite position (Eqs. 103-104) ->
+        Vincenty-inverse azimuth (6 fixed unrolled iterations, same
+        count in the DuckDB replay) -> derived perpendicular baseline.
+        Pure column algebra end-to-end; f32-quantize before rounding
+        on the trig outputs (divergent-libm policy, as maxvar)."""
+        from pyrate_spark.operators.geometry import (local_baseline,
+                                                     pixel_geometry)
+        out = local_baseline(pixel_geometry(_geometry_grid(spark, sf)))
+        q5 = lambda c: (F.round(F.col(c).cast("float").cast("double"), 5)
+                        + F.lit(0.0)).alias(c)
+        return out.select(
+            "y", "x",
+            # exact multiply-add of exact inputs — no quantize needed
+            F.round("range_dist", 5).alias("range_dist"),
+            q5("look_angle"), q5("incidence_angle"),
+            q5("azimuth_angle"), q5("bperp"))
+    q["pixel_geometry"] = q_pixel_geometry
+
+    def q_dem_error_derived(spark, sf):
+        """T14 fed by the DERIVED bperp (r7, VERDICT r6 missing #2):
+        the nuisance covariate is no longer an input column but the
+        geometry-derived perpendicular baseline looked up by the (day,
+        hour) grid cell of each observation — closing the reference's
+        dem_error.py + geometry.py chain end-to-end. Oracle replays
+        the trig AND the 3x3 Cramer solve."""
+        from pyrate_spark.operators.corrections import dem_error_analog
+        from pyrate_spark.operators.geometry import (local_baseline,
+                                                     pixel_geometry)
+        geom = (local_baseline(pixel_geometry(_geometry_grid(spark, sf)))
+                .select("y", "x", "bperp"))
+        e = _events(spark, sf)
+        d0 = e.agg(F.min(F.floor(F.unix_timestamp("warc_ts") / 86400))
+                   .cast("long").alias("d0"))
+        s = (e.where(F.col("value").isNotNull())
+             .crossJoin(F.broadcast(d0))
+             .withColumn("y", (F.floor(F.unix_timestamp("warc_ts")
+                                       / 86400)
+                               - F.col("d0")).cast("long"))
+             .withColumn("x", F.hour("warc_ts").cast("long"))
+             .join(F.broadcast(geom), ["y", "x"])
+             .select("url", "warc_ts", "value",
+                     F.col("bperp").alias("aux")))
+        out = dem_error_analog(s, EngineConfig(salt_buckets=16))
+        return (out.groupBy("url")
+                .agg(F.first("aux_coef").alias("c"))
+                .select("url",
+                        _nn(F.round(F.col("c").cast("float")
+                                    .cast("double"), 5)).alias("aux_coef")))
+    q["dem_error_derived"] = q_dem_error_derived
+
     def q_gorilla_roundtrip(spark, sf):
         """Hourly tier THROUGH the Gorilla codec: encode per-url blocks,
         decode, compare against the plain hourly oracle — proves the
@@ -2821,6 +2897,188 @@ def oracle_sql() -> dict[str, str]:
                s.rg
         FROM tiles t LEFT JOIN sel s ON s.out_y = t.out_y
                                     AND s.out_x = t.out_x
+    """
+
+    # ---- derived pixel geometry (geometry.py:123-345 replay, r7) ----
+    # Constants are embedded as repr'd Python doubles so BOTH sides run
+    # byte-identical literals (the Spark operator folds the same Python
+    # floats into its expression tree). Vincenty runs the SAME fixed 6
+    # iterations as the operator; trig outputs are f32-quantized before
+    # rounding (divergent-libm policy).
+    import math as _math
+    _ga, _gb, _gse = 6378137.0, 6356752.3141, 7071000.0
+    _gf = (_ga - _gb) / _ga
+    _gsat_azi = _math.radians(-12.5) + _math.radians(90.0)
+    _gc = {
+        "d2r": repr(_math.pi / 180.0),
+        "aa": repr(_ga * _ga), "bb": repr(_gb * _gb),
+        "a": repr(_ga), "b": repr(_gb),
+        "se2": repr(_gse * _gse), "twose": repr(2 * _gse),
+        "nr": repr(830000.0), "rps": repr(900.0),
+        "pi": repr(_math.pi), "pio2": repr(_math.pi / 2),
+        "negpio2": repr(-_math.pi / 2), "twopi": repr(2 * _math.pi),
+        "sinazi": repr(_math.sin(_gsat_azi)),
+        "halfazi": repr(_gsat_azi / 2),
+        "f": repr(_gf), "f16": repr(_gf / 16), "onef": repr(1 - _gf),
+        "bc": repr(120.0), "bn": repr(-40.0),
+        "brc": repr(0.2), "brn": repr(-0.05),
+        "mean_az": repr(1000 / 2 - 0.5), "prf": repr(1750.0 / 4),
+    }
+    _vin_iter = """
+        SELECT y, x, rg, az, range_dist, look_angle, incidence_angle,
+               u1, u2, omega,
+               omega + (((1 - cc) * {f}) * sin(al))
+                     * (sig + (cc * sin(sig))
+                              * (c2sm + (cc * cos(sig))
+                                        * (-1 + 2 * power(c2sm, 2))))
+                   AS lam
+        FROM (SELECT *,
+                     cos(sig) - ((2 * sin(u1)) * sin(u2))
+                              / power(cos(al), 2) AS c2sm,
+                     ({f16} * power(cos(al), 2))
+                       * (4 + {f} * (4 - 3 * power(cos(al), 2))) AS cc
+              FROM (SELECT *, atan2(ss, cs) AS sig,
+                           asin(((cos(u1) * cos(u2)) * sin(lam)) / ss)
+                               AS al
+                    FROM (SELECT *,
+                                 sqrt(power(cos(u2) * sin(lam), 2)
+                                      + power((cos(u1) * sin(u2))
+                                              - ((sin(u1) * cos(u2))
+                                                 * cos(lam)), 2)) AS ss,
+                                 (sin(u1) * sin(u2))
+                                   + ((cos(u1) * cos(u2)) * cos(lam))
+                                     AS cs
+                          FROM {{prev}}) _p) _q) _r
+    """.format(**_gc)
+
+    def _geometry_sql() -> str:
+        its = ""
+        for k in range(1, 7):
+            prev = "vin0" if k == 1 else f"vin{k - 1}"
+            its += f", vin{k} AS ({_vin_iter.format(prev=prev)})"
+        return f"""
+        WITH e AS (SELECT warc_ts, value FROM ({ev})),
+        b AS (SELECT min(CAST(epoch(warc_ts) AS BIGINT) // 86400) AS d0
+              FROM e),
+        cells AS (SELECT CAST(epoch(e.warc_ts) AS BIGINT) // 86400 - b.d0
+                             AS y,
+                         CAST(hour(e.warc_ts) AS BIGINT) AS x, e.value
+                  FROM e, b),
+        grid AS (SELECT y, x,
+                        CAST(count(value) % 97 AS DOUBLE) AS rg,
+                        CAST((x + y * 24) % 1000 AS DOUBLE) AS az,
+                        110.0 + x * 0.05 AS lon_deg,
+                        -30.0 - y * 0.05 AS lat_deg,
+                        y * 50.0 + x * 10.0 AS dem_height
+                 FROM cells GROUP BY y, x),
+        rad AS (SELECT *, lon_deg * {_gc['d2r']} AS lon,
+                       lat_deg * {_gc['d2r']} AS lat
+                FROM grid),
+        re0 AS (SELECT *,
+                       sqrt((({_gc['aa']} * cos(lat))
+                               * ({_gc['aa']} * cos(lat))
+                             + ({_gc['bb']} * sin(lat))
+                               * ({_gc['bb']} * sin(lat)))
+                            / (({_gc['a']} * cos(lat))
+                                 * ({_gc['a']} * cos(lat))
+                               + ({_gc['b']} * sin(lat))
+                                 * ({_gc['b']} * sin(lat)))) AS re
+                FROM rad),
+        ang AS (SELECT *,
+                       {_gc['nr']} + {_gc['rps']} * rg AS range_dist
+                FROM re0),
+        ang2 AS (SELECT *,
+                        acos((({_gc['se2']} + range_dist * range_dist)
+                              - re * re)
+                             / ({_gc['twose']} * range_dist))
+                            AS look_angle,
+                        {_gc['pi']}
+                          - acos(((range_dist * range_dist
+                                   + (re + dem_height) * (re + dem_height))
+                                  - {_gc['se2']})
+                                 / ((2 * range_dist) * (re + dem_height)))
+                            AS incidence_angle
+                 FROM ang),
+        sat AS (SELECT *, incidence_angle - look_angle AS eps FROM ang2),
+        sat2 AS (SELECT *,
+                        (asin(-(sin(eps) * {_gc['sinazi']})) / cos(lat))
+                          + lon AS sat_lon
+                 FROM sat),
+        sat3 AS (SELECT *,
+                        {_gc['negpio2']}
+                          + 2 * atan((cos({_gc['halfazi']}
+                                          + (sat_lon - lon) / 2)
+                                      / cos({_gc['halfazi']}
+                                            - (sat_lon - lon) / 2))
+                                     * tan((({_gc['pio2']} + lat) - eps)
+                                           / 2)) AS sat_lat
+                 FROM sat2),
+        vin0 AS (SELECT y, x, rg, az, range_dist, look_angle,
+                        incidence_angle,
+                        atan({_gc['onef']} * tan(lat)) AS u1,
+                        atan({_gc['onef']} * tan(sat_lat)) AS u2,
+                        sat_lon - lon AS omega,
+                        sat_lon - lon AS lam
+                 FROM sat3)
+        {its},
+        vin AS (SELECT *,
+                       atan2(cos(u2) * sin(lam),
+                             (cos(u1) * sin(u2))
+                               - ((sin(u1) * cos(u2)) * cos(lam))) AS azi0
+                FROM vin6),
+        geom AS (SELECT y, x, rg, az, range_dist, look_angle,
+                        incidence_angle,
+                        round(CASE WHEN azi0 < 0
+                                   THEN azi0 + {_gc['twopi']}
+                                   ELSE azi0 END, 9) AS azimuth_angle,
+                        ({_gc['bc']} + ({_gc['brc']} * (az - {_gc['mean_az']}))
+                                       / {_gc['prf']}) * cos(look_angle)
+                          - ({_gc['bn']} + ({_gc['brn']}
+                                            * (az - {_gc['mean_az']}))
+                                           / {_gc['prf']}) * sin(look_angle)
+                            AS bperp
+                 FROM vin)
+        """
+
+    _q5sql = "round(CAST(CAST({c} AS FLOAT) AS DOUBLE), 5) + 0.0 AS {c}"
+    o["pixel_geometry"] = f"""
+        {_geometry_sql()}
+        SELECT y, x, round(range_dist, 5) AS range_dist,
+               {_q5sql.format(c='look_angle')},
+               {_q5sql.format(c='incidence_angle')},
+               {_q5sql.format(c='azimuth_angle')},
+               {_q5sql.format(c='bperp')}
+        FROM geom
+    """
+
+    o["dem_error_derived"] = f"""
+        {_geometry_sql()},
+        b2 AS (SELECT min(CAST(epoch(warc_ts) AS BIGINT) // 86400) AS d0
+               FROM ({ev})),
+        s AS (SELECT e.url, e.value AS yv, g.bperp AS xv,
+                     (epoch(e.warc_ts)
+                      - min(epoch(e.warc_ts)) OVER (PARTITION BY e.url))
+                     / {YEAR_SECONDS} AS t
+              FROM ({ev}) e CROSS JOIN b2
+              JOIN geom g
+                ON g.y = CAST(epoch(e.warc_ts) AS BIGINT) // 86400 - b2.d0
+               AND g.x = CAST(hour(e.warc_ts) AS BIGINT)
+              WHERE e.value IS NOT NULL),
+        m AS (SELECT url, count(*) n, sum(t) st, sum(xv) sx,
+                     sum(t*t) stt, sum(t*xv) stx, sum(xv*xv) sxx,
+                     sum(yv) sy, sum(t*yv) sty, sum(xv*yv) sxy
+              FROM s GROUP BY url HAVING count(*) >= 4)
+        SELECT url,
+               round(CAST(CAST(
+                 (  n  * (stt*sxy - sty*stx)
+                  - st * (st*sxy  - sty*sx)
+                  + sy * (st*stx  - stt*sx))
+                 /
+                 (  n  * (stt*sxx - stx*stx)
+                  - st * (st*sxx  - stx*sx)
+                  + sx * (st*stx  - stt*sx)) AS FLOAT) AS DOUBLE), 5)
+                 AS aux_coef
+        FROM m
     """
 
     o["gorilla_roundtrip"] = f"""
