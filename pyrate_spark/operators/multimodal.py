@@ -1,20 +1,24 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed by Arrow-batched mapInPandas stages.
 
-The decode step is CAPABILITY-DETECTED (r4): each mode accepts
-``fake=True`` (deterministic sha256-derived stand-in, the default —
-what the oracles gate), ``fake=False`` (require a real decoder; raises
-NotImplementedError where the runtime lacks it), or ``fake="auto"``
-(real pixel decode for images when PIL is present, stub otherwise —
-same schema either way). ``"auto"`` is resolved ONCE on the DRIVER
-(r5, per advisor): the concrete decision ships to every executor in
-the serialized task closure, so one job emits one decode path
-everywhere — a worker that cannot honor a real-decode decision raises
-NotImplementedError (loud capability mismatch) rather than silently
-stubbing, and task retries are deterministic. Audio/video decode needs
-libav and stays stub/NotImplementedError in every runtime this repo
-targets. The Spark-side plumbing (schema, partitioning, UDF signature,
-Arrow batch flow) is identical across all modes and tested end-to-end.
+The decode step is CAPABILITY-DETECTED (r4; real-path closed r7): each
+mode accepts ``fake=True`` (deterministic sha256-derived stand-in, the
+default — what the oracles gate), ``fake=False`` (REAL image decode:
+PIL when the runtime has it, else the vendored pure-stdlib PNG codec
+in kernels/pngcodec.py — always available, so the real image path now
+runs end-to-end on every runtime), or ``fake="auto"``. ``"auto"`` is
+resolved ONCE on the DRIVER (r5, per advisor) to a concrete tier —
+``"real-images"`` (PIL-grade) when the driver has PIL, else
+``"real-images-mini"`` (vendored codec) — and the decision ships to
+every executor in the serialized task closure, so one job emits ONE
+decode implementation everywhere: a worker that cannot honor a
+PIL-grade decision raises NotImplementedError (loud capability
+mismatch) rather than silently downgrading, and the vendored tier is
+honorable by construction (stdlib only). Audio/video decode needs
+libav and stays stub under "auto" / NotImplementedError under
+``fake=False`` in every runtime this repo targets. The Spark-side
+plumbing (schema, partitioning, UDF signature, Arrow batch flow) is
+identical across all modes and tested end-to-end.
 """
 
 from __future__ import annotations
@@ -41,19 +45,44 @@ def _pil_image():
 
 def _resolve_auto(fake):
     """Driver-side resolution of ``fake="auto"`` to a concrete decode
-    decision: ``"real-images"`` (PIL importable here — images decode
-    for real, audio/video stub) or ``True`` (all-stub). Resolving on
-    the driver keeps one job on one path across a heterogeneous
-    cluster; a worker missing PIL under a "real-images" decision fails
-    loudly in the UDF instead of downgrading its rows."""
+    TIER: ``"real-images"`` (PIL importable here) or
+    ``"real-images-mini"`` (the vendored pure-stdlib PNG codec — always
+    available, so since r7 "auto" never silently stubs images).
+    Resolving on the driver keeps one job on one implementation across
+    a heterogeneous cluster; a worker missing PIL under a PIL-grade
+    decision fails loudly in the UDF instead of downgrading its rows,
+    and the mini tier is honorable everywhere by construction."""
     if fake == "auto":
-        return "real-images" if _pil_image() is not None else True
+        return ("real-images" if _pil_image() is not None
+                else "real-images-mini")
     return fake
 
 
+_REAL_TIERS = ("real-images", "real-images-mini")
+
+
+def _image_codec(fake, Image):
+    """The Image-module-like codec for a resolved real-decode decision:
+    PIL under a PIL-grade decision (raising loudly when this worker
+    lacks it), the vendored MiniImage under the mini tier, and
+    best-available under ``fake=False``."""
+    from pyrate_spark.kernels.pngcodec import MiniImage
+    if fake == "real-images":
+        if Image is None:
+            raise NotImplementedError(
+                "job resolved to PIL-grade image decode but PIL is "
+                "missing on this worker — capability mismatch")
+        return Image
+    if fake == "real-images-mini":
+        return MiniImage
+    return Image if Image is not None else MiniImage   # fake=False
+
+
 def real_image_features(payload: bytes, feat_dim: int, Image) -> np.ndarray:
-    """Real pixel path (used when PIL is present): decode, grayscale,
-    resize to (feat_dim, feat_dim), features = row means / 255."""
+    """Real pixel path: decode, grayscale, resize to (feat_dim,
+    feat_dim), features = row means / 255. ``Image`` is any
+    PIL.Image-module-compatible codec (PIL itself or the vendored
+    kernels.pngcodec.MiniImage facade)."""
     img = Image.open(io.BytesIO(payload)).convert("L")
     img = img.resize((feat_dim, feat_dim))
     arr = np.asarray(img, dtype=np.float32)
@@ -104,14 +133,16 @@ def extract_features(assets: DataFrame, feat_dim: int = 8,
     """Decode + feature-extract via mapInPandas.
 
     fake=True  -> sha256 stand-in (deterministic, oracle-gated);
-    fake="auto"-> resolved ONCE on the driver: real PIL pixel decode
-                  for images when the driver runtime has PIL, all-stub
-                  otherwise (same schema); the decision ships in the
-                  task closure, so a worker lacking PIL under a
-                  real-decode decision raises instead of mixing paths;
-    fake=False -> require real decode; NotImplementedError if the
-                  capability is missing (audio/video always — libav is
-                  out of every targeted runtime).
+    fake="auto"-> resolved ONCE on the driver to a concrete tier:
+                  PIL-grade image decode when the driver has PIL, the
+                  vendored PNG codec otherwise (real pixels either
+                  way, same schema); the decision ships in the task
+                  closure, so a worker lacking PIL under a PIL-grade
+                  decision raises instead of mixing implementations;
+    fake=False -> require real decode: PIL if present, else the
+                  vendored PNG codec for images; NotImplementedError
+                  for audio/video (libav is out of every targeted
+                  runtime).
     """
     if fake not in (True, False, "auto"):
         raise ValueError(f"fake must be True, False or 'auto', got {fake!r}")
@@ -122,16 +153,16 @@ def extract_features(assets: DataFrame, feat_dim: int = 8,
             # the stand-in for a real decoder's corrupt-input error
             raise ValueError("undecodable payload")
         use_real = (fake is False
-                    or (fake == "real-images"
+                    or (fake in _REAL_TIERS
                         and kind.startswith("image/")))
         if use_real:
-            if not kind.startswith("image/") or Image is None:
+            if not kind.startswith("image/"):
                 raise NotImplementedError(
-                    f"real decode for {kind} requires "
-                    f"{'PIL' if kind.startswith('image/') else 'libav'} "
-                    "— not in this runtime")
+                    f"real decode for {kind} requires libav — not in "
+                    "this runtime")
+            codec = _image_codec(fake, Image)   # may raise (loud)
             try:
-                return real_image_features(payload, feat_dim, Image)
+                return real_image_features(payload, feat_dim, codec)
             except NotImplementedError:
                 raise
             except Exception as exc:   # corrupt input, not capability
@@ -174,8 +205,9 @@ def resize_assets(assets: DataFrame, max_w: int = 256, max_h: int = 256,
     column algebra (scale = min(max_w/w, max_h/h, 1), floor, min 1px —
     SQL-verifiable); the pixel work runs in mapInPandas with the same
     fake=True/False/"auto" contract as ``extract_features`` ("auto" =
-    driver-resolved: real PIL resize when the driver has PIL, sha256
-    stand-in payload otherwise, same schema either way)."""
+    driver-resolved tier: PIL resize when the driver has PIL, the
+    vendored nearest-neighbor PNG codec otherwise — real pixels either
+    way, same schema)."""
     if fake not in (True, False, "auto"):
         raise ValueError(f"fake must be True, False or 'auto', got {fake!r}")
     fake = _resolve_auto(fake)
@@ -194,15 +226,16 @@ def resize_assets(assets: DataFrame, max_w: int = 256, max_h: int = 256,
         if payload is None or len(payload) == 0:
             raise ValueError("undecodable payload")
         use_real = (fake is False
-                    or (fake == "real-images"
+                    or (fake in _REAL_TIERS
                         and kind.startswith("image/")))
         if use_real:
-            if not kind.startswith("image/") or Image is None:
+            if not kind.startswith("image/"):
                 raise NotImplementedError(
-                    f"real pixel resize for {kind} requires PIL — "
+                    f"real pixel resize for {kind} requires libav — "
                     "not in this runtime")
+            codec = _image_codec(fake, Image)   # may raise (loud)
             try:
-                img = Image.open(io.BytesIO(payload))
+                img = codec.open(io.BytesIO(payload))
                 buf = io.BytesIO()
                 img.resize((int(w), int(h))).save(buf, format="PNG")
                 return buf.getvalue()

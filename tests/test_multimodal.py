@@ -48,26 +48,44 @@ def test_capability_gap_fails_loudly(spark):
     assert "NotImplementedError" in str(exc.value)
 
 
-def test_auto_mode_falls_back_to_stub_without_pil(spark):
-    """fake='auto' on this PIL-less runtime must emit exactly the stub
-    features/payloads (same schema, same values) — the capability probe
-    degrades gracefully instead of failing."""
+def test_auto_mode_resolves_to_vendored_codec_without_pil(spark):
+    """fake='auto' on a PIL-less runtime resolves to the vendored
+    PNG-codec tier (r7): images go down the REAL pixel path — synth
+    payloads are not PNGs, so they come back flagged (decode attempted,
+    failed as corrupt input), never silently served the stub — while
+    audio/video still stub cleanly under the same decision."""
     try:
         import PIL  # noqa: F401
-        pytest.skip("PIL installed: auto mode takes the real path here")
+        pytest.skip("PIL installed: auto resolves to the PIL tier here")
     except ImportError:
         pass
+    from pyrate_spark.operators.multimodal import _resolve_auto
+    assert _resolve_auto("auto") == "real-images-mini"
     a = synth_assets(spark, 12)
-    stub = {r["asset_id"]: r["feat"]
-            for r in extract_features(a, feat_dim=4, fake=True).collect()}
-    auto = {r["asset_id"]: r["feat"]
-            for r in extract_features(a, feat_dim=4, fake="auto").collect()}
-    assert stub == auto
-    rs = {r["asset_id"]: bytes(r["payload_resized"])
-          for r in resize_assets(a, 64, 64, fake=True).collect()}
-    ra = {r["asset_id"]: bytes(r["payload_resized"])
-          for r in resize_assets(a, 64, 64, fake="auto").collect()}
-    assert rs == ra
+    rows = extract_features(a, feat_dim=4, fake="auto").collect()
+    assert len(rows) == 12
+    for r in rows:
+        if r["kind"] == "image/png":
+            assert not r["decode_ok"] and r["feat"] is None
+        else:
+            assert r["decode_ok"] and len(r["feat"]) == 4
+
+
+def test_auto_mode_decodes_real_png(spark):
+    """A genuine PNG payload under fake='auto' decodes for REAL on
+    every runtime (PIL tier or vendored tier): features are the actual
+    pixel row-means, not the sha256 stub."""
+    import numpy as np
+    from pyrate_spark.kernels.pngcodec import encode_png
+    png = encode_png(np.full((12, 16), 200, dtype=np.uint8))
+    a = spark.createDataFrame(
+        [(1, "image/png", bytearray(png), 16, 12, 0)],
+        "asset_id long, kind string, payload binary, width int, "
+        "height int, duration_ms int")
+    row = extract_features(a, feat_dim=4, fake="auto").collect()[0]
+    assert row["decode_ok"]
+    np.testing.assert_allclose(row["feat"], np.full(4, 200 / 255.0),
+                               atol=2e-3)
 
 
 def test_real_image_path_with_shim_decoder():
@@ -133,29 +151,34 @@ def test_auto_resolution_is_driver_side(spark, monkeypatch):
     assert av and all(r["decode_ok"] for r in av)
 
 
-def _pil_missing():
-    try:
-        import PIL  # noqa: F401
-        return False
-    except ImportError:
-        return True
-
-
-@pytest.mark.real_pil
-@pytest.mark.skipif(_pil_missing(), reason=(
-    "PIL not in this runtime — real pixel path covered by the shim "
-    "decoder test; this marker test exercises it end-to-end the day "
-    "the runtime gains PIL"))
-def test_real_pil_end_to_end(spark):
-    """fake=False with genuine PIL: encode a real PNG, decode + feature
-    + resize through the full Spark path, check the known pixel means."""
+def test_real_decode_end_to_end(spark):
+    """fake=False on ANY runtime (r7: was skipif-PIL, now the vendored
+    codec closes the gap): encode a real PNG, decode + feature + resize
+    through the full Spark path, check the known pixel means and that
+    the resized payload is itself a valid PNG of the target geometry."""
     import io
     import numpy as np
-    from PIL import Image
-    buf = io.BytesIO()
-    Image.new("L", (16, 12), color=128).save(buf, format="PNG")
+    try:
+        from PIL import Image
+
+        def make_png():
+            buf = io.BytesIO()
+            Image.new("L", (16, 12), color=128).save(buf, format="PNG")
+            return buf.getvalue()
+
+        def png_size(data):
+            return Image.open(io.BytesIO(data)).size
+    except ImportError:
+        from pyrate_spark.kernels.pngcodec import MiniImage, encode_png
+
+        def make_png():
+            return encode_png(np.full((12, 16), 128, dtype=np.uint8))
+
+        def png_size(data):
+            return MiniImage.open(data).size
+
     a = spark.createDataFrame(
-        [(1, "image/png", bytearray(buf.getvalue()), 16, 12, 0)],
+        [(1, "image/png", bytearray(make_png()), 16, 12, 0)],
         "asset_id long, kind string, payload binary, width int, "
         "height int, duration_ms int")
     row = extract_features(a, feat_dim=4, fake=False).collect()[0]
@@ -164,7 +187,22 @@ def test_real_pil_end_to_end(spark):
                                atol=2e-3)
     rz = resize_assets(a, 8, 8, fake=False).collect()[0]
     assert rz["decode_ok"] and (rz["out_width"], rz["out_height"]) == (8, 6)
-    assert Image.open(io.BytesIO(rz["payload_resized"])).size == (8, 6)
+    assert png_size(bytes(rz["payload_resized"])) == (8, 6)
+
+
+def test_vendored_and_shim_feature_values_agree():
+    """The real-decode feature derivation is codec-independent: a
+    uniform 16x12 gray-128 PNG through the VENDORED codec yields the
+    same feature vector the shim-decoder test derives analytically
+    (row-mean/255) — pinning real-decode values against the shim's, as
+    the r6 verdict asked."""
+    import numpy as np
+    from pyrate_spark.kernels.pngcodec import encode_png
+    from pyrate_spark.operators.multimodal import real_image_features
+    from pyrate_spark.kernels.pngcodec import MiniImage
+    png = encode_png(np.full((12, 16), 128, dtype=np.uint8))
+    feat = real_image_features(png, 4, MiniImage)
+    np.testing.assert_allclose(feat, np.full(4, 128 / 255.0), rtol=1e-6)
 
 
 def test_resize_geometry_aspect_preserving(spark):
