@@ -45,10 +45,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_URLS = int(os.environ.get("PYRATE_BENCH_URLS", "25000"))
 EPOCHS = int(os.environ.get("PYRATE_BENCH_EPOCHS", "48"))
-# median-of-REPS per stage: cold-run/GC/page-cache variance on this
-# shared box is +-3x, so a single-shot number is untrustworthy (the
-# round-1 bench read 20x slower than the same stage's steady-state);
-# the median of 3 discards the cold outlier like run_scaling.py does
+# MIN-of-REPS per stage (r7, uniform with run_scaling.py's discipline):
+# cold-run/GC/page-cache variance on this shared box is +-3x, so a
+# single-shot number is untrustworthy (the round-1 bench read 20x
+# slower than the same stage's steady-state, and the r6 committed
+# streaming_maintenance stamped a 3.5x co-tenant spike into the
+# artifact because that one stage ran reps=1). The minimum is the
+# least-contended estimate of what the CODE costs; box-state context
+# ships alongside as cpu_capacity.
 REPS = int(os.environ.get("PYRATE_BENCH_REPS", "3"))
 # comma-separated subset of query names to run (empty = all);
 # used by scripts/run_scaling.py to time only the scalable core
@@ -88,8 +92,7 @@ def main():
             t0 = time.perf_counter()
             out = fn()
             walls.append(time.perf_counter() - t0)
-        walls.sort()
-        timings[name] = round(walls[len(walls) // 2], 3)
+        timings[name] = round(min(walls), 3)
         return out
 
     # ---- pages tier cascade (the headline rollup) ----
@@ -179,9 +182,12 @@ def main():
     # stages (the salted_buckets contract; r5 — previously every timed
     # rep re-ran the counting aggregation over the persisted pairs)
     from pyrate_spark.operators.grouped import detect_hot_keys
-    t0 = time.perf_counter()
-    hot = detect_hot_keys(pairs)
-    meta["hot_key_detect_sec"] = round(time.perf_counter() - t0, 3)
+    hot, hot_walls = None, []
+    for _ in range(2):                  # min-of-2 (r7: was one-shot)
+        t0 = time.perf_counter()
+        hot = detect_hot_keys(pairs)
+        hot_walls.append(time.perf_counter() - t0)
+    meta["hot_key_detect_sec"] = round(min(hot_walls), 3)
     meta["hot_keys"] = len(hot)
 
     def inversion():
@@ -204,7 +210,7 @@ def main():
         timed("inversion_mst",
               lambda: linear_rate_from_pairs(pairs, cfg, use_mst=True,
                                              hot_keys=hot).count(),
-              reps=1)
+              reps=max(2, REPS - 1))
         meta["inversion_mst_rows_per_sec"] = round(
             meta["pair_rows"] / max(timings["inversion_mst"], 1e-9))
 
@@ -216,22 +222,27 @@ def main():
     # "new crawl lands" shape) plus a compact_day_store sweep of a
     # streaming-fragmented day store ----
     if _want("streaming_maintenance"):
+        # r7 (VERDICT r6 "what's wrong" #1): the stage is split into
+        # its two jobs — the availableNow incremental pass and the
+        # compaction sweep — each timed separately, and the whole
+        # sequence repeats with FRESH checkpoint/store state per rep
+        # so min-of-reps applies here like everywhere else (the r6
+        # committed number was one reps=1 window that caught a 3.5x
+        # co-tenant spike).
         import shutil
         import tempfile
         from pyrate_spark.plans.backfill import write_raw_store
         from pyrate_spark.plans.retention import compact_day_store
         from pyrate_spark.streaming.tiers import streaming_series_rollup
-        base = tempfile.mkdtemp(prefix="pyrate_bench_stream_")
-        src, out, ck = f"{base}/src", f"{base}/tier", f"{base}/ck"
-        store = f"{base}/store"
         slim = series.select("url", "warc_ts", "value")
         cut = slim.agg(
             F.expr("percentile_approx(warc_ts, 0.9)")).first()[0]
-        initial = slim.where(F.col("warc_ts") < F.lit(cut))
+        initial = slim.where(F.col("warc_ts") < F.lit(cut)).persist()
         delta = slim.where(F.col("warc_ts") >= F.lit(cut)).persist()
         n_delta = delta.count()
+        initial.count()
 
-        def one_pass():
+        def one_pass(src, out, ck):
             stream = (spark.readStream
                       .schema("url string, warc_ts timestamp, "
                               "value double")
@@ -244,27 +255,40 @@ def main():
                  .start())
             q.awaitTermination()
 
-        initial.write.mode("overwrite").parquet(src)
-        one_pass()                      # initial load, untimed
-        delta.write.mode("append").parquet(src)
-        write_raw_store(initial, store)
-        for i in range(6):              # streaming-append fragmentation
-            write_raw_store(
-                delta.where(F.pmod(F.xxhash64("url"), F.lit(6)) == i),
-                store, mode="append")
-
-        def maintenance():
-            one_pass()                  # incremental: delta only
-            return compact_day_store(spark, store, max_files_per_day=4,
-                                     min_age_days=None)
-
-        res = timed("streaming_maintenance", maintenance, reps=1)
+        walls_a, walls_c = [], []
+        res = None
+        for rep in range(max(2, REPS - 1)):
+            base = tempfile.mkdtemp(prefix=f"pyrate_bench_stream{rep}_")
+            src, out, ck = f"{base}/src", f"{base}/tier", f"{base}/ck"
+            store = f"{base}/store"
+            initial.write.mode("overwrite").parquet(src)
+            one_pass(src, out, ck)      # initial load, untimed
+            delta.write.mode("append").parquet(src)
+            write_raw_store(initial, store)
+            for i in range(6):          # streaming-append fragmentation
+                write_raw_store(
+                    delta.where(F.pmod(F.xxhash64("url"),
+                                       F.lit(6)) == i),
+                    store, mode="append")
+            t0 = time.perf_counter()
+            one_pass(src, out, ck)      # incremental: delta only
+            t1 = time.perf_counter()
+            res = compact_day_store(spark, store, max_files_per_day=4,
+                                    min_age_days=None)
+            t2 = time.perf_counter()
+            walls_a.append(t1 - t0)
+            walls_c.append(t2 - t1)
+            shutil.rmtree(base, ignore_errors=True)
+        timings["streaming_availablenow"] = round(min(walls_a), 3)
+        timings["compaction_sweep"] = round(min(walls_c), 3)
+        meta["streaming_maintenance_sec"] = round(
+            min(walls_a) + min(walls_c), 3)   # r6-comparable composite
         meta["streaming_delta_rows"] = n_delta
         meta["streaming_delta_rows_per_sec"] = round(
-            n_delta / max(timings["streaming_maintenance"], 1e-9))
+            n_delta / max(timings["streaming_availablenow"], 1e-9))
         meta["compacted_days"] = len(res["compacted"])
+        initial.unpersist()
         delta.unpersist()
-        shutil.rmtree(base, ignore_errors=True)
 
     # ---- as-of enrichment (r5): every raw point matched to the most
     # recent OBSERVED hourly bucket — the new asof_join operator at
