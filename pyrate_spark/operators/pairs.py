@@ -6,11 +6,14 @@ from per-url snapshots. Two flavours:
 
 - :func:`sequential_pairs` — consecutive snapshots via ``lag`` over a
   per-url ordered window: one shuffle on url, no join.
-- :func:`network_pairs` — a bounded range self-join
-  (``b.ts > a.ts AND b.ts <= a.ts + max_span``, ranked to the k nearest
-  forward neighbours): the redundant-network analog of the reference's
-  ifg list, enabling MST selection / closure loops per key. Both sides
-  shuffle on url once; sort-merge join stays key-local.
+- :func:`network_pairs` — each snapshot pairs with its k nearest
+  forward neighbours within a max temporal baseline: the
+  redundant-network analog of the reference's ifg list, enabling MST
+  selection / closure loops per key. Default path is k ``lead()``
+  shifts over one per-url ordered window (O(rows x k), one shuffle);
+  a bounded range self-join (``b.ts > a.ts AND b.ts <= a.ts +
+  max_span``, ranked) is retained via ``via="range_join"`` for
+  duplicate-keyed input.
 
 J1 epoch-id assignment: dense_rank over distinct warc_ts per url
 (algorithm.py:225-237: sorted distinct dates -> dense ids).
@@ -60,7 +63,8 @@ def sequential_pairs(series: DataFrame, value_col: str = "value") -> DataFrame:
 
 def network_pairs(series: DataFrame, max_span_days: int = 90,
                   max_pairs_per_epoch: int = 3,
-                  value_col: str = "value") -> DataFrame:
+                  value_col: str = "value",
+                  via: str = "window") -> DataFrame:
     """Redundant pair network: each snapshot pairs with up to k forward
     neighbours within the max temporal baseline — the graft's ifg list.
 
@@ -69,13 +73,56 @@ def network_pairs(series: DataFrame, max_span_days: int = 90,
     raw series (MST edge weight, mst.py:63-70; per-ifg nan_fraction
     shared.py:477-492 collapses to a per-url quantity here because every
     observation of a key shares the key's null history).
+
+    ``via="window"`` (default, r7): because the k nearest FORWARD
+    neighbours within the span are exactly the next k rows in per-url
+    timestamp order, the whole construction is ``lead(ts, i)`` /
+    ``lead(value, i)`` for i=1..k over one per-url ordered window —
+    O(rows x k) work, ONE shuffle, no join. The older range self-join
+    materialised rows x (span/step) candidate rows before the rank
+    filter (24h data with a 3-day span = 72x fan-out; at 100 TB that
+    intermediate is the whole job), so it is kept only as
+    ``via="range_join"`` for inputs with duplicate (url, warc_ts) keys,
+    where "next k rows" is ill-defined. Both paths are bit-equal on
+    unique-keyed input (pinned by pytest); canonical sources collapse
+    duplicates upstream (``_events``: groupBy url, second).
     """
+    if via not in ("window", "range_join"):
+        raise ValueError(f"via must be 'window' or 'range_join': {via!r}")
     nf = Window.partitionBy("url")
     base = (series
             .select("url", "warc_ts", value_col)
             .withColumn("nan_fraction",
                         F.avg(F.when(F.col(value_col).isNull(), 1.0)
                                .otherwise(0.0)).over(nf)))
+    span = F.expr(f"INTERVAL {max_span_days} DAYS")
+    if via == "window":
+        w = nf.orderBy("warc_ts")
+        nxt = F.array(*[
+            F.struct(
+                F.lead("warc_ts", i).over(w).alias("ts_second"),
+                F.lead(value_col, i).over(w).alias("v_second"))
+            for i in range(1, max_pairs_per_epoch + 1)])
+        return (base
+                .select("url",
+                        F.col("warc_ts").alias("ts_first"),
+                        F.col(value_col).alias("v_first"),
+                        "nan_fraction",
+                        nxt.alias("_next"))
+                .select("url", "ts_first", "v_first", "nan_fraction",
+                        F.explode("_next").alias("_n"))
+                .where(F.col("_n.ts_second").isNotNull()
+                       & (F.col("_n.ts_second") > F.col("ts_first"))
+                       & (F.col("_n.ts_second") <= F.col("ts_first") + span))
+                .select(
+                    "url", "ts_first",
+                    F.col("_n.ts_second").alias("ts_second"),
+                    (F.col("_n.v_second") - F.col("v_first"))
+                    .alias("delta_value"),
+                    ((F.unix_timestamp(F.col("_n.ts_second"))
+                      - F.unix_timestamp("ts_first")).cast("double")
+                     / F.lit(YEAR_SECONDS)).alias("time_span"),
+                    "nan_fraction"))
     a = base.select(
         "url",
         F.col("warc_ts").alias("ts_first"),
@@ -92,8 +139,7 @@ def network_pairs(series: DataFrame, max_span_days: int = 90,
         b,
         on=[F.col("url") == F.col("_url_b"),
             F.col("ts_second") > F.col("ts_first"),
-            F.col("ts_second") <= F.col("ts_first")
-            + F.expr(f"INTERVAL {max_span_days} DAYS")],
+            F.col("ts_second") <= F.col("ts_first") + span],
         how="inner").drop("_url_b")
     rk = Window.partitionBy("url", "ts_first").orderBy("ts_second")
     return (joined

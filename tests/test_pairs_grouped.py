@@ -93,6 +93,31 @@ class TestPairBuilding:
         # nan_fraction 0 everywhere (no nulls)
         assert (a["nan_fraction"] == 0.0).all()
 
+    def test_window_path_equals_range_join(self, spark):
+        """r7: the default lead()-window construction is bit-equal to
+        the retained range self-join on unique-keyed input (nulls and
+        irregular gaps included), and its plan has no Join node."""
+        from pyrate_spark.datagen import generate_pages
+        from pyrate_spark.operators.extract import extract_series
+        s = extract_series(generate_pages(
+            spark, n_urls=17, epochs_per_url=40, step_hours=7,
+            null_pct=25, seed=11))
+        # knock out some rows so per-url grids are irregular
+        s = s.where(F.pmod(F.hash("url", "warc_ts"), F.lit(5)) != 0)
+        kw = dict(max_span_days=2, max_pairs_per_epoch=3)
+        win = network_pairs(s, via="window", **kw)
+        rj = network_pairs(s, via="range_join", **kw)
+        assert "Join" not in win._jdf.queryExecution().executedPlan().toString()
+        cols = ["url", "ts_first", "ts_second"]
+        a = win.orderBy(*cols).toPandas()
+        b = rj.orderBy(*cols).toPandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+
+    def test_network_pairs_via_rejects_unknown(self, series):
+        with pytest.raises(ValueError):
+            network_pairs(series, via="sort_merge")
+
 
 class TestTimeseriesGrouped:
     def test_oracle_through_dataframe(self, spark, oracle_pairs):
