@@ -16,8 +16,16 @@ do):
   python worker pool is warmed before any timing;
 - every stage is run ``reps`` times and the median is reported;
 - stages: tier rollup cascade (relational core), pair network
-  (range self-join), per-url SVD inversion + linear rate (grouped-map
-  kernel core — the dominant compute at production scale).
+  (per-url k-lead window build), per-url SVD inversion + linear rate
+  (grouped-map kernel core — the dominant compute at production
+  scale);
+- the RELATIONAL stages run over their own, much larger input
+  (PYRATE_SCALE_REL_URLS x PYRATE_SCALE_REL_EPOCHS, seed=43) so they
+  carry real weight in the gate (r7, VERDICT r6 "what's wrong" #2: at
+  the inversion-sized input they finished in <1s of fixed overhead and
+  contributed nothing — a regression in the relational half of the
+  engine was invisible). The inversion keeps its own input size; the
+  headline efficiency is now a sum over stages that each matter.
 
 Writes BENCH.md + BENCH_scaling.json and prints the summary JSON line.
 """
@@ -46,14 +54,22 @@ from pyrate_spark.config import EngineConfig
 
 cpus = int(sys.argv[1]); n_urls = int(sys.argv[2]); epochs = int(sys.argv[3])
 reps = int(sys.argv[4])
+rel_urls = int(sys.argv[5]); rel_epochs = int(sys.argv[6])
 spark = get_session("scale", parallelism=cpus, shuffle_partitions=cpus)
 warm_python_workers(spark)
 series = extract_series(generate_pages(
     spark, n_urls=n_urls, epochs_per_url=epochs, step_hours=1,
     null_pct=10, seed=42)).persist()
 rows = series.count()
+# the relational stages get their own LARGER input (seed=43) so they
+# weigh in the gate; slim projection persisted, generation untimed
+rel = extract_series(generate_pages(
+    spark, n_urls=rel_urls, epochs_per_url=rel_epochs, step_hours=1,
+    null_pct=10, seed=43)).select("url", "warc_ts", "value").persist()
+rel_rows = rel.count()
 pairs = network_pairs(series, 3, 2).persist()
 pair_rows = pairs.count()
+rel_pairs = network_pairs(rel, 3, 2).count()   # denominator, untimed
 cfg = EngineConfig(ts_method=2, ts_pthr=0, velerror_nsig=1,
                    salt_buckets=1024)
 
@@ -65,11 +81,11 @@ def median_time(fn):
     return statistics.median(walls)
 
 def rollup():
-    h = tier_rollup(series, "1 hour", 0.5)
+    h = tier_rollup(rel, "1 hour", 0.5)
     cascade_rollup(h, "1 day").count()
 
 def pairs_job():
-    network_pairs(series, 3, 2).count()
+    network_pairs(rel, 3, 2).count()
 
 def inversion():
     # detect_hot=False: the scaling input is uniform by construction,
@@ -79,6 +95,7 @@ def inversion():
 
 out = {
     "cpus": cpus, "rows": rows, "pair_rows": pair_rows,
+    "rel_rows": rel_rows, "rel_pairs": rel_pairs,
     "stages": {
         "rollup_cascade": round(median_time(rollup), 2),
         "pair_network": round(median_time(pairs_job), 2),
@@ -90,14 +107,15 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, n_urls: int, epochs: int, reps: int) -> dict:
+def run_level(cpus: int, n_urls: int, epochs: int, reps: int,
+              rel_urls: int, rel_epochs: int) -> dict:
     env = dict(os.environ)
     env["SPARK_SUBMIT_OPTS"] = "-Dspark.ui.showConsoleProgress=false"
     env["PYTHONPATH"] = REPO
     out = subprocess.run(
         [sys.executable, "-c", _LEVEL_SCRIPT, str(cpus), str(n_urls),
-         str(epochs), str(reps)],
-        env=env, capture_output=True, text=True, timeout=3000, cwd=REPO)
+         str(epochs), str(reps), str(rel_urls), str(rel_epochs)],
+        env=env, capture_output=True, text=True, timeout=6000, cwd=REPO)
     for ln in out.stdout.splitlines():
         if ln.startswith("SCALEJSON "):
             return json.loads(ln[len("SCALEJSON "):])
@@ -175,12 +193,16 @@ def main():
         hi = int(os.environ.get("PYRATE_SCALE_4N", str(4 * lo)))
     n_urls = int(os.environ.get("PYRATE_SCALE_URLS", "4000"))
     epochs = int(os.environ.get("PYRATE_SCALE_EPOCHS", "384"))
+    rel_urls = int(os.environ.get("PYRATE_SCALE_REL_URLS", "48000"))
+    rel_epochs = int(os.environ.get("PYRATE_SCALE_REL_EPOCHS", "1600"))
     reps = int(os.environ.get("PYRATE_SCALE_REPS", "3"))
     rounds = int(os.environ.get("PYRATE_SCALE_ROUNDS", "2"))
     runs_lo, runs_hi = [], []
     for _ in range(rounds):          # interleaved: lo,hi,lo,hi
-        runs_lo.append(run_level(lo, n_urls, epochs, reps))
-        runs_hi.append(run_level(hi, n_urls, epochs, reps))
+        runs_lo.append(run_level(lo, n_urls, epochs, reps,
+                                 rel_urls, rel_epochs))
+        runs_hi.append(run_level(hi, n_urls, epochs, reps,
+                                 rel_urls, rel_epochs))
     r_lo = _combine_min(runs_lo)
     r_hi = _combine_min(runs_hi)
     ratio = hi / lo
@@ -214,9 +236,14 @@ def main():
         "pair_probe": {k: {n: round(v, 2) for n, v in d.items()}
                        for k, d in probe_ctx.items()},
         "rows": rows, "pair_rows": r_lo["pair_rows"],
+        "rel_rows": r_lo["rel_rows"], "rel_pairs": r_lo["rel_pairs"],
         "core_sec_n": round(core_lo, 2), "core_sec_4n": round(core_hi, 2),
-        "rows_per_sec_n": round((rows + r_lo["pair_rows"]) / core_lo),
-        "rows_per_sec_4n": round((rows + r_hi["pair_rows"]) / core_hi),
+        "rows_per_sec_n": round(
+            (r_lo["rel_rows"] + r_lo["rel_pairs"]
+             + r_lo["pair_rows"]) / core_lo),
+        "rows_per_sec_4n": round(
+            (r_hi["rel_rows"] + r_hi["rel_pairs"]
+             + r_hi["pair_rows"]) / core_hi),
         "stages_n": r_lo["stages"], "stages_4n": r_hi["stages"],
         "stage_efficiency_raw": eff,
         "pass_0_8": eff_raw >= 0.8,
@@ -225,15 +252,20 @@ def main():
 
     md = f"""# BENCH — throughput & scaling evidence
 
-Same deterministic job (seed=42 pages table: {n_urls:,} urls x
-{epochs} hourly epochs -> {rows:,} rows, {r_lo['pair_rows']:,} pair
-observations), two parallelism levels. `local[{lo}]` vs `local[{hi}]`
-stands in for N vs 4N executors (no real cluster in this sandbox; see
-BASELINE.md). Inputs persisted + python workers warmed before timing;
-median of {reps} runs per stage within a level, levels interleaved
-{rounds}x (lo,hi,lo,hi) and per-stage minima taken across rounds so
-co-tenant load drift on this shared box cannot masquerade as a
-scaling property (steady-state, as a long-lived cluster would see).
+Same deterministic jobs, two parallelism levels. `local[{lo}]` vs
+`local[{hi}]` stands in for N vs 4N executors (no real cluster in this
+sandbox; see BASELINE.md). Two inputs so every stage carries weight
+(r7): the kernel core (per-url inversion) runs the seed=42 pages table
+({n_urls:,} urls x {epochs} hourly epochs -> {rows:,} rows,
+{r_lo['pair_rows']:,} pair observations), while the RELATIONAL stages
+(tier cascade, pair-network window build) run a seed=43 table sized to
+dominate fixed overhead ({rel_urls:,} urls x {rel_epochs} epochs ->
+{r_lo['rel_rows']:,} rows, {r_lo['rel_pairs']:,} pairs emitted).
+Inputs persisted + python workers warmed before timing; median of
+{reps} runs per stage within a level, levels interleaved {rounds}x
+(lo,hi,lo,hi) and per-stage minima taken across rounds so co-tenant
+load drift on this shared box cannot masquerade as a scaling property
+(steady-state, as a long-lived cluster would see).
 
 | stage | local[{lo}] (s) | local[{hi}] (s) | speedup | efficiency |
 |---|---|---|---|---|
@@ -269,11 +301,15 @@ Notes on what scales and why (measured on this box):
   vectorised (one frame per bucket; per-key pandas allocation churn
   previously *inflated in-worker time 2.3x under 32 concurrent
   workers* via allocator/THP contention).
-- The relational stages (rollup, range self-join) at this input size
-  finish in seconds and are bounded by single-box memory bandwidth,
-  not cores — on a real 4N-executor cluster each executor brings its
-  own memory channels, which local thread-scaling cannot emulate.
-  Their absolute cost is small; the kernel core dominates at scale.
+- The relational stages (tier rollup cascade, pair-network k-lead
+  window) run a {r_lo['rel_rows']:,}-row input sized so each carries
+  real weight in the gate (r7; previously they were <1 s of fixed
+  overhead and a regression there was invisible). Both are one-shuffle
+  jobs; the low-parallelism side sorts ~{r_lo['rel_rows'] // lo // 10**6}M
+  rows per partition and spills, so their measured speedup includes
+  the spill relief a real cluster gets from more executor memory —
+  bounded by single-box memory bandwidth, which local thread-scaling
+  cannot fully emulate.
 - Cross-parallelism output equivalence (the reference's serial ==
   joblib == MPI invariance) is asserted in
   tests/test_scaling_equivalence.py.
@@ -281,11 +317,15 @@ Notes on what scales and why (measured on this box):
 Raw JSON: BENCH_scaling.json.
 
 Headline bench (bench.py, what the driver records as BENCH_r{{N}}.json)
-uses the same discipline: median of 3 runs per stage inside one
-process, pair-network timed as a recompute (not a cached read-back),
-python workers warmed first. Box-state drift between DRIVER runs is
-still visible in the one-shot `pages_materialize` stage (cold datagen
-+ persist); the steady-state stages are the comparable numbers.
+uses a stricter form of the same discipline since r7: MIN of >=2 runs
+for every stage inside one process (the least-contended estimate —
+the r6 artifact stamped a 3.5x co-tenant spike into its one reps=1
+stage), streaming maintenance split into separately-timed
+availableNow-pass and compaction-sweep keys with fresh state per rep,
+pair-network timed as a recompute (not a cached read-back), python
+workers warmed first. Box-state drift between DRIVER runs is still
+visible in the one-shot `pages_materialize` stage (cold datagen +
+persist); the steady-state stages are the comparable numbers.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
