@@ -539,6 +539,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    loop_length=3)
     q["closure_triangles"] = q_closure_triangles
 
+    def q_closure_sums_tri(spark, sf):
+        """A8 closure table (new r7): one row per (url, triangle) with
+        the signed closure sum — the quantity plot_closure.py renders.
+        At max_loop_length=3 the kernel's traversal is deterministic
+        (a->b->c->a ascending), so closure = d(a,b)+d(b,c)-d(a,c) and a
+        3-way SQL self-join replays the whole table including the
+        '|'-joined sorted-epoch loop_key and the loop weight
+        (= 2*(c-a) seconds)."""
+        from pyrate_spark.operators.corrections import closure_sums
+        p = network_pairs(_events(spark, sf, nulls=False),
+                          max_span_days=30, max_pairs_per_epoch=2)
+        cfg = EngineConfig(max_loop_length=3,
+                           max_loop_redundancy=10 ** 6, salt_buckets=16)
+        return closure_sums(p, cfg).select(
+            "url", "loop_key",
+            F.col("n_edges").cast("long").alias("n_edges"),
+            "loop_weight",
+            F.round("closure", 5).alias("closure"))
+    q["closure_sums_tri"] = q_closure_sums_tri
+
     def q_orbital_network(spark, sf):
         """T16 on the chain network: the joint per-epoch inversion is
         exactly determined, so fitted offsets equal the cumulative
@@ -2850,6 +2870,36 @@ def oracle_sql() -> dict[str, str]:
         urls AS (SELECT DISTINCT url FROM p)
         SELECT u.url, coalesce(t.n, 0) AS n_loops
         FROM urls u LEFT JOIN tri t ON u.url = t.url
+    """
+
+    o["closure_sums_tri"] = f"""
+        WITH base AS (SELECT url, warc_ts, value
+                      FROM ({_events_sql(nulls=False)})),
+        j AS (SELECT a.url, a.warc_ts ts1, b.warc_ts ts2,
+                     b.value - a.value AS dv,
+                     row_number() OVER (PARTITION BY a.url, a.warc_ts
+                                        ORDER BY b.warc_ts) rk
+              FROM base a JOIN base b
+                ON a.url = b.url AND b.warc_ts > a.warc_ts
+               AND b.warc_ts <= a.warc_ts + INTERVAL 30 DAY),
+        p AS (SELECT url, ts1, ts2, dv FROM j WHERE rk <= 2),
+        tri AS (
+          SELECT p1.url,
+                 CAST(epoch(p1.ts1) AS BIGINT) AS a,
+                 CAST(epoch(p1.ts2) AS BIGINT) AS b,
+                 CAST(epoch(p2.ts2) AS BIGINT) AS c,
+                 p1.dv + p2.dv - p3.dv AS closure
+          FROM p p1
+          JOIN p p2 ON p2.url = p1.url AND p2.ts1 = p1.ts2
+          JOIN p p3 ON p3.url = p1.url AND p3.ts1 = p1.ts1
+                   AND p3.ts2 = p2.ts2)
+        SELECT url,
+               CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR) || '|'
+                 || CAST(c AS VARCHAR) AS loop_key,
+               CAST(3 AS BIGINT) AS n_edges,
+               CAST(2 * (c - a) AS DOUBLE) AS loop_weight,
+               round(closure, 5) AS closure
+        FROM tri
     """
 
     o["orbital_network"] = f"""

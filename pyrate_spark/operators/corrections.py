@@ -530,6 +530,74 @@ def closure_loop_counts(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
             .groupBy("_bucket").applyInPandas(fn, schema))
 
 
+def closure_sums(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
+                 n_buckets: int | None = None) -> DataFrame:
+    """A8 as a first-class table: one row per (key, loop) with the
+    signed closure sum — the quantity plot_closure.py:28-80 renders
+    (closure[:, :, loop] per pixel; here per url). Loop enumeration,
+    signing and redundancy discard are the closure_mask kernels
+    unchanged (mst_closure.py:85-179, sum_closure.py:158-189,
+    closure_check.py:147-166).
+
+    ``loop_key`` is the loop's sorted epoch set as '|'-joined unix
+    seconds — the dedupe identity of the cycle (collect_loops.py:76-121
+    keeps one loop per node-set), stable across keys so panels can be
+    compared url-to-url. For max_loop_length=3 the traversal is
+    deterministic a->b->c->a (ascending node index), so the closure of
+    a triangle a<b<c is exactly d(a,b) + d(b,c) - d(a,c) and the whole
+    table is verifiable by a 3-way SQL self-join (driver oracle
+    `closure_sums_tri`)."""
+    import pandas as pd
+    import numpy as np
+    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.kernels.closure import (closed_loops,
+                                              discard_loops_containing_max_ifg_count,
+                                              sum_closure)
+    max_len = cfg.max_loop_length
+    max_red = cfg.max_loop_redundancy
+    thr = cfg.closure_thr
+
+    schema = ("url string, loop_key string, n_edges int, "
+              "loop_weight double, closure double")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyrate_spark.operators.udf_kernels import (group_slices,
+                                                        ts_seconds)
+        first_all = ts_seconds(pdf["ts_first"])
+        second_all = ts_seconds(pdf["ts_second"])
+        vals = pdf["delta_value"].to_numpy(dtype=np.float64)
+        rows = []
+        for url, idx in group_slices(pdf):
+            sub = np.lexsort((second_all[idx], first_all[idx]))
+            idx = idx[sub]
+            fs = first_all[idx].tolist()
+            ss = second_all[idx].tolist()
+            loops = closed_loops(fs, ss, max_loop_length=max_len)
+            loops = discard_loops_containing_max_ifg_count(loops, max_red)
+            if not loops:
+                continue
+            pair_pos = {}
+            for j, (a, b) in enumerate(zip(fs, ss)):
+                pair_pos.setdefault((a, b), j)
+            values = {(a, b): vals[idx[pair_pos[(a, b)]]]
+                      for (a, b) in pair_pos}
+            for loop in loops:
+                closure, _breach = sum_closure(loop, values,
+                                               subtract_median=False,
+                                               thr=thr)
+                nodes = sorted({e.first for e in loop.edges}
+                               | {e.second for e in loop.edges})
+                key = "|".join(str(int(n)) for n in nodes)
+                rows.append((url, key, len(loop.edges),
+                             float(loop.weight), float(closure)))
+        return pd.DataFrame(rows, columns=["url", "loop_key", "n_edges",
+                                           "loop_weight", "closure"])
+
+    nb = n_buckets or cfg.salt_buckets
+    return (_bucketed(pairs, "url", nb, detect_hot=False)
+            .groupBy("_bucket").applyInPandas(fn, schema))
+
+
 def dem_error_analog(series: DataFrame, cfg: EngineConfig = DEFAULT,
                      aux_col: str = "aux",
                      n_buckets: int | None = None) -> DataFrame:

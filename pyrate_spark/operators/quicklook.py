@@ -250,3 +250,87 @@ def rate_grid(per_key: DataFrame, key_col: str = "url",
                     (rn / width).cast("int").alias("y"),
                     F.pmod(rn, F.lit(width)).cast("int").alias("x"),
                     F.col(value_col).cast("double").alias("value")))
+
+
+def closure_plot(closure_df: DataFrame, out_dir: str, thr: float,
+                 iteration: int = 0, width: int = 16,
+                 panel_rows: int = 7, panel_cols: int = 7,
+                 max_loops: int = 98, pad: int = 2,
+                 max_pixels: int = 1 << 20) -> dict:
+    """Closure-loop small multiples: the graft of plot_closure.py:28-80.
+
+    Input is :func:`~pyrate_spark.operators.corrections.closure_sums`
+    output (url, loop_key, closure). One panel per loop; within a panel
+    each url is one pixel, laid out by :func:`rate_grid`'s deterministic
+    sorted-key row-major order (the reference's panel is the per-pixel
+    closure raster of that loop). Colour: the symmetric diverging rate
+    map bounded at +-thr*pi — the reference uses matplotlib Spectral
+    with the same vmin/vmax (plot_closure.py:29,62); this runtime has
+    no matplotlib, so the vendored colour-relief map + PNG encoder
+    stand in (deterministic bytes, golden-hashable). 49 panels per
+    figure, figures split exactly like the reference
+    (``closure_loops_iteration_{i}_fig_{j}.png``).
+
+    Scale split: per-(url, loop) class assignment is column algebra on
+    the cluster; the collect is bounded by panels x panel pixels
+    (``max_loops`` caps the loop count EXPLICITLY — total vs kept loop
+    counts go in the returned meta, no silent truncation; a quicklook
+    is by definition a small image).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    bound = float(thr) * float(np.pi)
+    loops_all = [r["loop_key"] for r in
+                 (closure_df.select("loop_key").distinct()
+                  .orderBy("loop_key").limit(max_loops + 1).collect())]
+    n_total = closure_df.select("loop_key").distinct().count()
+    loops = loops_all[:max_loops]
+    loop_id = {k: i for i, k in enumerate(loops)}
+
+    spark = closure_df.sparkSession
+    urls = closure_df.select("url").distinct().withColumn(
+        "value", F.lit(0.0))
+    grid = rate_grid(urls, key_col="url", value_col="value", width=width,
+                     max_pixels=max(1, max_pixels
+                                    // max(1, len(loops)))).select(
+        "url", "y", "x")
+    lid_df = F.broadcast(spark.createDataFrame(
+        [(k, i) for k, i in loop_id.items()], "loop_key string, lid int"))
+    classed = (closure_df.join(lid_df, "loop_key")
+               .join(grid, "url")
+               .select("lid", "y", "x",
+                       class_index_col("closure", -bound, bound)
+                       .alias("cls")))
+    rows = classed.collect()
+
+    ph = max((r["y"] for r in rows), default=0) + 1
+    pw = width
+    breaks, rgba, _, _ = quicklook_colormap(-bound, bound, "rate")
+    per_fig = panel_rows * panel_cols
+    n_figs = max(1, -(-len(loops) // per_fig))
+    fig_h = panel_rows * ph + (panel_rows + 1) * pad
+    fig_w = panel_cols * pw + (panel_cols + 1) * pad
+    figs = [np.zeros((fig_h, fig_w, 4), dtype=np.uint8)
+            for _ in range(n_figs)]
+    for r in rows:
+        lid = r["lid"]
+        fig_i, slot = divmod(lid, per_fig)
+        p_r, p_c = divmod(slot, panel_cols)
+        y0 = pad + p_r * (ph + pad)
+        x0 = pad + p_c * (pw + pad)
+        if r["cls"] is not None:
+            figs[fig_i][y0 + r["y"], x0 + r["x"]] = np.round(
+                rgba[r["cls"]]).astype(np.uint8)
+    paths = []
+    for j, img in enumerate(figs):
+        p = os.path.join(
+            out_dir, f"closure_loops_iteration_{iteration}_fig_{j}.png")
+        write_png(img, p)
+        paths.append(p)
+    meta = {"n_loops_total": int(n_total), "n_loops_plotted": len(loops),
+            "truncated": n_total > len(loops), "bound": bound,
+            "panel_height": int(ph), "panel_width": int(pw),
+            "figs": [os.path.basename(p) for p in paths]}
+    with open(os.path.join(
+            out_dir, f"closure_loops_iteration_{iteration}.json"), "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    return meta

@@ -122,3 +122,98 @@ def test_sink_plan_stays_distributed(spark):
     classed = df.select(class_index_col("value", 0.0, 9.0).alias("c"))
     plan = classed._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestClosurePlot:
+    """closure_sums (A8 table) + closure_plot (plot_closure.py graft)."""
+
+    @pytest.fixture(scope="class")
+    def pairs(self, spark):
+        import datetime as dt
+        t = [dt.datetime(2024, 1, 1) + dt.timedelta(days=k)
+             for k in range(4)]
+        rows = []
+        for url, scale in (("u1", 1.0), ("u2", 2.0)):
+            for f, s, d in ((0, 1, 1.0), (1, 2, 2.0), (0, 2, 3.5),
+                            (2, 3, 1.0), (1, 3, 3.0)):
+                rows.append((url, t[f], t[s], d * scale, 0.0, 0.0))
+        return spark.createDataFrame(
+            rows, "url string, ts_first timestamp, ts_second timestamp, "
+                  "delta_value double, time_span double, "
+                  "nan_fraction double")
+
+    @pytest.fixture(scope="class")
+    def sums(self, pairs):
+        from pyrate_spark.config import EngineConfig
+        from pyrate_spark.operators.corrections import closure_sums
+        cfg = EngineConfig(max_loop_length=4,
+                           max_loop_redundancy=10 ** 6, salt_buckets=4)
+        return closure_sums(pairs, cfg).persist()
+
+    def test_closure_sums_hand_network(self, sums):
+        out = sums.orderBy("url", "loop_key").toPandas()
+        u1 = out[out.url == "u1"]
+        # triangles: d01+d12-d02 = -0.5; d12+d23-d13 = 0.0;
+        # quad t0->t1->t3->t2->t0 (deterministic DFS order):
+        # d01+d13-d23-d02 = -0.5
+        assert len(u1) == 3
+        by_edges = {int(r.n_edges): [] for _, r in u1.iterrows()}
+        for _, r in u1.iterrows():
+            by_edges[int(r.n_edges)].append(r)
+        tris = sorted((r.loop_key, r.closure) for r in by_edges[3])
+        assert tris[0][1] == pytest.approx(-0.5)
+        assert tris[1][1] == pytest.approx(0.0)
+        assert by_edges[4][0].closure == pytest.approx(-0.5)
+        # weights in seconds: triangle over [t0,t2] = 2*(2 days)
+        assert sorted(r.loop_weight for _, r in u1.iterrows()) == [
+            pytest.approx(345600.0), pytest.approx(345600.0),
+            pytest.approx(518400.0)]
+        # u2 values are doubled -> closures double
+        u2 = out[out.url == "u2"].sort_values("loop_key")
+        np.testing.assert_allclose(
+            sorted(u2["closure"]), sorted(2 * u1["closure"]))
+
+    def test_closure_plot_files_and_pixels(self, sums, tmp_path):
+        from pyrate_spark.operators.quicklook import closure_plot
+        thr = 0.5 / np.pi          # bound = thr*pi = 0.5
+        meta = closure_plot(sums, str(tmp_path), thr=thr, iteration=2)
+        assert meta["n_loops_total"] == 3
+        assert meta["n_loops_plotted"] == 3
+        assert not meta["truncated"]
+        assert meta["bound"] == pytest.approx(0.5)
+        p = tmp_path / "closure_loops_iteration_2_fig_0.png"
+        assert p.exists()
+        png = p.read_bytes()
+        idat_off = png.index(b"IDAT") + 4
+        (idat_len,) = struct.unpack(">I", png[idat_off - 8:idat_off - 4])
+        raw = zlib.decompress(png[idat_off:idat_off + idat_len])
+        # fig geometry: 2 urls on a width-16 grid -> 1-row panels
+        h = 7 * 1 + 8 * 2
+        w = 7 * 16 + 8 * 2
+        img = (np.frombuffer(raw, dtype=np.uint8)
+               .reshape(h, w * 4 + 1)[:, 1:].reshape(h, w, 4))
+        # loops sort by loop_key: [tri(t0t1t2), quad, tri(t1t2t3)];
+        # u1 sorts before u2 -> panel pixel (0, 0).
+        # lid0 (closure -0.5 = -bound) -> class 0 -> red
+        np.testing.assert_array_equal(img[2, 2], [255, 0, 0, 255])
+        # lid2 (closure 0.0) at panel col 2 -> class 127 -> white
+        np.testing.assert_array_equal(img[2, 2 + 2 * (16 + 2)],
+                                      [255, 255, 255, 255])
+        # empty slot stays transparent
+        np.testing.assert_array_equal(img[2, 2 + 3 * (16 + 2)],
+                                      [0, 0, 0, 0])
+        # deterministic bytes: re-render -> identical file
+        meta2 = closure_plot(sums, str(tmp_path / "again"), thr=thr,
+                             iteration=2)
+        again = (tmp_path / "again"
+                 / "closure_loops_iteration_2_fig_0.png").read_bytes()
+        assert hashlib.sha256(png).hexdigest() == \
+            hashlib.sha256(again).hexdigest()
+        assert meta2 == meta
+
+    def test_truncation_disclosed(self, sums, tmp_path):
+        from pyrate_spark.operators.quicklook import closure_plot
+        meta = closure_plot(sums, str(tmp_path), thr=1.0, max_loops=2)
+        assert meta["n_loops_total"] == 3
+        assert meta["n_loops_plotted"] == 2
+        assert meta["truncated"]
