@@ -1649,6 +1649,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_in"))
     q["swinging_door"] = q_swinging_door
 
+    def q_m4_downsample(spark, sf):
+        """M4 per-bucket first/last/min/max downsample (new r7): the
+        partial-aggregable member of the downsample family — one hash
+        agg on (url, bucket), no per-key array. Extremes picked as
+        lexicographic struct min/max so ties replay exactly in SQL
+        (first/last = min/max(t, v); vmin/vmax = min/max(v, t))."""
+        from pyrate_spark.operators.downsample import m4_downsample
+        e = (_events(spark, sf)
+             .withColumn("value", F.round("value", 5)))
+        return m4_downsample(e, 6 * 3600).select(
+            "url", "bucket", F.col("t").alias("t_unix"), F.col("v"),
+            F.col("n_in"))
+    q["m4_downsample"] = q_m4_downsample
+
     def q_quicklook_classmap(spark, sf):
         """S9 quicklook colour maths (merge.py:195-231): per-url mean
         rate, symmetric blue-white-red 255-entry relief, nearest-entry
@@ -4028,6 +4042,24 @@ def oracle_sql() -> dict[str, str]:
     _S_X = f"({_S_SL2} > {_S_SH2})"
     _S_RH = "((e.v + 5.0 - r.phv) / (e.t - r.pht))"
     _S_RL = "((e.v - 5.0 - r.phv) / (e.t - r.pht))"
+    o["m4_downsample"] = f"""
+        WITH b AS (SELECT url, t // {6 * 3600} AS bucket, t, v
+                   FROM ({_EB})),
+        r AS (SELECT url, bucket, t, v,
+                     row_number() OVER (PARTITION BY url, bucket
+                                        ORDER BY t, v) AS fa,
+                     row_number() OVER (PARTITION BY url, bucket
+                                        ORDER BY t DESC, v DESC) AS la,
+                     row_number() OVER (PARTITION BY url, bucket
+                                        ORDER BY v, t) AS mn,
+                     row_number() OVER (PARTITION BY url, bucket
+                                        ORDER BY v DESC, t DESC) AS mx,
+                     count(*) OVER (PARTITION BY url, bucket) AS n_in
+              FROM b)
+        SELECT DISTINCT url, bucket, t AS t_unix, v, n_in
+        FROM r WHERE 1 IN (fa, la, mn, mx)
+    """
+
     o["swinging_door"] = f"""
         WITH RECURSIVE
         pts AS (SELECT url, t, v,

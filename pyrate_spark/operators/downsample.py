@@ -255,3 +255,54 @@ def lttb_downsample(series_df: DataFrame, n_out: int,
                     F.col("_p.t").cast("long").alias("t"),
                     F.col("_p.v").alias("v"),
                     "n_in"))
+
+
+def m4_downsample(series_df: DataFrame, bucket_sec: int,
+                  value_col: str = "value",
+                  ts_col: str = "warc_ts") -> DataFrame:
+    """M4 downsampling per url: for each ``bucket_sec`` time bucket
+    keep the first, last, min and max points (Jugel et al., VLDB 2014
+    "M4: A Visualization-Oriented Time Series Data Aggregation") — the
+    width-parameterised member of the downsample family that is
+    PIXEL-PERFECT for line rendering at one bucket per x-column.
+
+    Unlike the LTTB / swinging-door folds (which buffer one url's
+    series in an aggregation buffer), M4 is a plain partial-aggregable
+    groupBy: one Exchange on (url, bucket), map-side combine, no
+    per-key array, no window — the shape that survives any key
+    cardinality at 100 TB. Extremes are selected as lexicographic
+    struct min/max so ties are deterministic in both engines:
+    first/last = min/max of (t, v), vmin/vmax = min/max of (v, t).
+
+    Returns (url, bucket, t, v, n_in): up to four distinct points per
+    bucket in time order, ``n_in`` the bucket's non-null input count.
+    """
+    if bucket_sec <= 0:
+        raise ValueError(f"bucket_sec must be > 0, got {bucket_sec}")
+    t_expr = _as_seconds(F.col(ts_col),
+                         series_df.schema[ts_col].dataType,
+                         f"ts_col {ts_col!r}").cast("long")
+    w = int(bucket_sec)
+    obs = (series_df.where(F.col(value_col).isNotNull())
+           .select("url", t_expr.alias("_t"),
+                   F.col(value_col).cast("double").alias("_v")))
+    agg = (obs.groupBy("url", F.expr(f"_t DIV {w}").alias("bucket"))
+           .agg(F.min(F.struct("_t", "_v")).alias("_first"),
+                F.max(F.struct("_t", "_v")).alias("_last"),
+                F.min(F.struct("_v", "_t")).alias("_vmin"),
+                F.max(F.struct("_v", "_t")).alias("_vmax"),
+                F.count(F.lit(1)).alias("n_in")))
+    pts = F.sort_array(F.array_distinct(F.array(
+        F.struct(F.col("_first._t").alias("t"),
+                 F.col("_first._v").alias("v")),
+        F.struct(F.col("_vmin._t").alias("t"),
+                 F.col("_vmin._v").alias("v")),
+        F.struct(F.col("_vmax._t").alias("t"),
+                 F.col("_vmax._v").alias("v")),
+        F.struct(F.col("_last._t").alias("t"),
+                 F.col("_last._v").alias("v")))))
+    return (agg.select("url", "bucket", "n_in",
+                       F.explode(pts).alias("_p"))
+            .select("url", "bucket",
+                    F.col("_p.t").alias("t"), F.col("_p.v").alias("v"),
+                    "n_in"))

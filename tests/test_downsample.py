@@ -170,3 +170,37 @@ def test_lttb_nulls_dropped(spark):
     out = lttb_downsample(df, 10).collect()
     assert len(out) == 10
     assert all(r["n_in"] == 40 for r in out)
+
+
+def test_m4_roles_ties_and_plan(spark):
+    from pyspark.sql import functions as F
+    from pyrate_spark.operators.downsample import m4_downsample
+    base = dt.datetime(2024, 1, 1)
+    # one url, one 1-hour bucket of 6 points with a tied minimum (v=1.0
+    # at t=120 and t=180 -> lexicographic (v, t) min keeps t=120), plus
+    # a second bucket where one point is first, last, min and max at
+    # once (collapses to a single output row), plus a null (dropped)
+    rows = [("u", base + dt.timedelta(seconds=s), v) for s, v in
+            ((0, 5.0), (60, 2.0), (120, 1.0), (180, 1.0), (240, 9.0),
+             (300, 4.0), (3600, 7.0))] + [("u", base, None)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double")
+    out = m4_downsample(df, 3600)
+    got = out.orderBy("bucket", "t").collect()
+    t0 = int(base.timestamp())
+    b0 = [r for r in got if r["bucket"] == t0 // 3600]
+    # first(t=0,v=5), tied min keeps earliest (t=120), max(t=240,v=9),
+    # last(t=300,v=4); n_in counts only non-null points
+    assert [(r["t"] - t0, r["v"], r["n_in"]) for r in b0] == [
+        (0, 5.0, 6), (120, 1.0, 6), (240, 9.0, 6), (300, 4.0, 6)]
+    b1 = [r for r in got if r["bucket"] != t0 // 3600]
+    assert [(r["t"] - t0, r["v"], r["n_in"]) for r in b1] == [
+        (3600, 7.0, 1)]
+    # scale shape: pure hash aggregation — exactly one Exchange, no
+    # sort-based window, no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    with pytest.raises(ValueError):
+        m4_downsample(df, 0)
