@@ -23,6 +23,7 @@ NaN paths (reference nodata semantics, shared.py:342-366).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -558,6 +559,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "loop_weight",
             F.round("closure", 5).alias("closure"))
     q["closure_sums_tri"] = q_closure_sums_tri
+
+    def q_closure_classmap(spark, sf):
+        """closure_plot's distributed half under the hard gate (new
+        r7): nearest-entry class assignment of per-(url, loop) closure
+        against the fixed symmetric bound thr*pi (plot_closure.py's
+        vmin/vmax). Classes are computed from the 5-dp-rounded closure
+        on BOTH sides so the gate checks the class algebra, not last-
+        ulp float drift (the unrounded closures are value-hash-gated
+        by closure_sums_tri). The PNG assembly itself is pytest-gated
+        (tests/test_quicklook.py TestClosurePlot, deterministic
+        bytes)."""
+        from pyrate_spark.operators.corrections import closure_sums
+        from pyrate_spark.operators.quicklook import class_index_col
+        p = network_pairs(_events(spark, sf, nulls=False),
+                          max_span_days=30, max_pairs_per_epoch=2)
+        cfg = EngineConfig(max_loop_length=3,
+                           max_loop_redundancy=10 ** 6, salt_buckets=16)
+        bound = 10.0 * math.pi
+        s = closure_sums(p, cfg).withColumn(
+            "closure", F.round("closure", 5))
+        return s.select(
+            "url", "loop_key", "closure",
+            class_index_col("closure", -bound, bound).alias("cls"))
+    q["closure_classmap"] = q_closure_classmap
 
     def q_orbital_network(spark, sf):
         """T16 on the chain network: the joint per-epoch inversion is
@@ -2914,6 +2939,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * (c - a) AS DOUBLE) AS loop_weight,
                round(closure, 5) AS closure
         FROM tri
+    """
+
+    o["closure_classmap"] = f"""
+        WITH base AS (SELECT url, warc_ts, value
+                      FROM ({_events_sql(nulls=False)})),
+        j AS (SELECT a.url, a.warc_ts ts1, b.warc_ts ts2,
+                     b.value - a.value AS dv,
+                     row_number() OVER (PARTITION BY a.url, a.warc_ts
+                                        ORDER BY b.warc_ts) rk
+              FROM base a JOIN base b
+                ON a.url = b.url AND b.warc_ts > a.warc_ts
+               AND b.warc_ts <= a.warc_ts + INTERVAL 30 DAY),
+        p AS (SELECT url, ts1, ts2, dv FROM j WHERE rk <= 2),
+        tri AS (
+          SELECT p1.url,
+                 CAST(epoch(p1.ts1) AS BIGINT) AS a,
+                 CAST(epoch(p1.ts2) AS BIGINT) AS b,
+                 CAST(epoch(p2.ts2) AS BIGINT) AS c,
+                 round(p1.dv + p2.dv - p3.dv, 5) AS closure
+          FROM p p1
+          JOIN p p2 ON p2.url = p1.url AND p2.ts1 = p1.ts2
+          JOIN p p3 ON p3.url = p1.url AND p3.ts1 = p1.ts1
+                   AND p3.ts2 = p2.ts2),
+        m AS (SELECT 10.0 * pi() AS mm)
+        SELECT url,
+               CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR) || '|'
+                 || CAST(c AS VARCHAR) AS loop_key,
+               closure,
+               least(254, greatest(0, CAST(floor(
+                   (closure + mm) / (mm + mm) * 254.0 + 0.5) AS INT)))
+                   AS cls
+        FROM tri, m
     """
 
     o["orbital_network"] = f"""
