@@ -187,6 +187,26 @@ def pick_pair() -> tuple[int, int, dict]:
     return lo, 4 * lo, {"caps": caps, "attainable_ratios": ratios}
 
 
+_HIST_BEGIN = "<!-- RUN-HISTORY:BEGIN -->"
+_HIST_END = "<!-- RUN-HISTORY:END -->"
+
+
+def _history_block() -> str:
+    """Hand-maintained run-history disclosure table, preserved across
+    regenerations of BENCH.md (this file rewrites BENCH.md wholesale;
+    the history of banked runs and disclosed failed attempts must
+    survive — it is part of the evidence)."""
+    path = os.path.join(REPO, "BENCH.md")
+    try:
+        with open(path) as f:
+            txt = f.read()
+        i = txt.index(_HIST_BEGIN)
+        j = txt.index(_HIST_END) + len(_HIST_END)
+        return txt[i:j] + "\n\n"
+    except (OSError, ValueError):
+        return ""
+
+
 def main():
     lo_env = os.environ.get("PYRATE_SCALE_N", "auto")
     probe_ctx = {}
@@ -318,7 +338,7 @@ Notes on what scales and why (measured on this box):
   joblib == MPI invariance) is asserted in
   tests/test_scaling_equivalence.py.
 
-Raw JSON: BENCH_scaling.json.
+{_history_block()}Raw JSON: BENCH_scaling.json.
 
 Headline bench (bench.py, what the driver records as BENCH_r{{N}}.json)
 uses a stricter form of the same discipline since r7: MIN of >=2 runs
