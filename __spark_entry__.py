@@ -1996,7 +1996,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "los_projection", "coh_stats", "retention_intersection",
             "token_count", "text_quality", "mask_rate",
             "temporal_highpass", "counter_rate_hourly", "topk_hourly",
-            "dem_error_derived"]
+            "dem_error_derived",
+            # r7 second pass: the first rotation left the intended
+            # window at 53 entries, so positions 51-53 (fused_rates,
+            # streaming_cascade_daily, rollup_stats) silently fell
+            # outside the driver's 50-row gate — and rollup_stats is
+            # one of the never-driver-checked nine the rotation was FOR.
+            # Retire three green-in-r6, unchanged-machinery entries:
+            #   epoch_ids        — green r1-r6; S3/P9/J1 machinery also
+            #                      runs inside in-window network_pairs
+            #   fused_rates      — green r6; grouped-map kernel path
+            #                      re-gated in-window by
+            #                      linear_rate_kernel + stack_rate_noiter
+            #   streaming_cascade_daily — green r6; cascade machinery
+            #                      re-gated in-window by
+            #                      streaming_rollup_hourly +
+            #                      streaming_tier_suite
+            "epoch_ids", "fused_rates", "streaming_cascade_daily"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
