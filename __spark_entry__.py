@@ -32,6 +32,7 @@ from pyrate_spark.config import EngineConfig
 from pyrate_spark.operators import dedup as dd
 from pyrate_spark.operators import similarity as sim
 from pyrate_spark.operators import text as tx
+from pyrate_spark.operators.extract import extract_text_html
 from pyrate_spark.operators.grouped import (linear_rate_per_url,
                                             mask_rate_df, mst_annotate,
                                             stack_rate_per_url,
@@ -828,6 +829,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dd.jaccard_pairs(_docs(spark, sf), threshold=0.5,
                                 max_df=100)
     q["dedup_jaccard_capped"] = q_dedup_jaccard_capped
+
+    def q_dedup_clusters(spark, sf):
+        """Near-dup CLUSTERS (new r7): connected components over the
+        capped-jaccard verified pair graph via iterative min-label
+        propagation — the keep-one-representative step a 10^12-doc
+        dedup pass needs after pair generation. cluster_id = min doc_id
+        in the component; singletons (docs in no pair) cluster with
+        themselves. Oracle replays the pair graph with the
+        dedup_jaccard_capped SQL and closes it with a recursive
+        reachability CTE."""
+        docs = _docs(spark, sf)
+        pairs = dd.jaccard_pairs(docs, threshold=0.5, max_df=100)
+        cl = dd.near_dup_clusters(pairs, docs=docs)
+        return cl.select("doc_id",
+                         F.col("cluster_id").cast("long").alias("cluster_id"),
+                         F.col("cluster_size").cast("long")
+                         .alias("cluster_size"),
+                         "is_canonical")
+    q["dedup_clusters"] = q_dedup_clusters
+
+    def q_html_text_invariant(spark, sf):
+        """BASELINE row invariant as a hard gate (new r7): wrap the
+        documents text in the canonical html shell (same construction
+        as datagen/ingest), recover it with extract_text_html (UTF-8
+        decode + anchored dotall regexp, JVM-side), and emit the
+        per-row byte-identity verdict plus an md5 of the recovered
+        bytes so the value hash pins the content, not just the
+        boolean."""
+        d = _docs(spark, sf)
+        pages = d.select(
+            "doc_id",
+            F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                              F.lit("</body></html>")), "UTF-8")
+            .alias("html"),
+            "text")
+        ex = extract_text_html(pages)
+        return ex.select(
+            "doc_id",
+            (F.col("text_from_html") == F.col("text")).alias("ok"),
+            F.md5(F.encode("text_from_html", "UTF-8")).alias("text_md5"))
+    q["html_text_invariant"] = q_html_text_invariant
 
     def q_dedup_minhash_lsh(spark, sf):
         """md5 hash mode: DuckDB replays the WHOLE LSH pipeline
@@ -2012,7 +2054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             #                      re-gated in-window by
             #                      streaming_rollup_hourly +
             #                      streaming_tier_suite
-            "epoch_ids", "fused_rates", "streaming_cascade_daily"]
+            "epoch_ids", "fused_rates", "streaming_cascade_daily",
+            # new r7 tail registrations (window frozen at 50 for the
+            # round; rotate in a future round)
+            "dedup_clusters", "html_text_invariant"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3379,6 +3424,58 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON c.doc_a = sa.doc_id
         JOIN sizes sb ON c.doc_b = sb.doc_id
         WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.5
+    """
+
+    o["dedup_clusters"] = r"""
+        WITH RECURSIVE toks AS (
+          SELECT DISTINCT doc_id, unnest(
+              regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        keep AS (SELECT tok FROM toks GROUP BY tok
+                 HAVING count(*) <= 100),
+        kt AS (SELECT t.doc_id, t.tok FROM toks t JOIN keep USING (tok)),
+        cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+                 FROM kt a JOIN kt b
+                   ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) n FROM toks GROUP BY doc_id),
+        inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+                  FROM toks a JOIN toks b
+                    ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+          JOIN sizes sa ON c.doc_a = sa.doc_id
+          JOIN sizes sb ON c.doc_b = sb.doc_id
+          WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.5),
+        edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(s, t) AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        lab AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+                FROM reach GROUP BY s),
+        cl AS (SELECT d.doc_id,
+                      coalesce(l.cluster_id, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN lab l USING (doc_id)),
+        szs AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM cl GROUP BY cluster_id)
+        SELECT cl.doc_id, cl.cluster_id, szs.cluster_size,
+               (cl.doc_id = cl.cluster_id) AS is_canonical
+        FROM cl JOIN szs USING (cluster_id)
+    """
+
+    o["html_text_invariant"] = r"""
+        WITH shell AS (
+          SELECT doc_id, text,
+                 regexp_extract(
+                   '<html><body>' || text || '</body></html>',
+                   '(?s)^<html><body>(.*)</body></html>$', 1) AS rec
+          FROM documents)
+        SELECT doc_id, rec = text AS ok, md5(rec) AS text_md5
+        FROM shell
     """
 
     # --- MinHash LSH twin (md5 hash mode, seeds 42..57, 4 bands x 4) ---

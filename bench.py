@@ -173,7 +173,7 @@ def main():
     pairs = network_pairs(series, max_span_days=3,
                           max_pairs_per_epoch=2).persist()
     meta["pair_rows"] = pairs.count()          # fill the cache, untimed
-    # time the range-join compute itself (not the cached read-back)
+    # time the pair-window compute itself (not the cached read-back)
     timed("pages_pair_network",
           lambda: network_pairs(series, max_span_days=3,
                                 max_pairs_per_epoch=2).count())

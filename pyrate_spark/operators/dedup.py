@@ -205,6 +205,86 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             .where(F.col("jaccard") >= threshold))
 
 
+def near_dup_clusters(pairs: DataFrame, docs: DataFrame | None = None,
+                      id_col: str = "doc_id",
+                      max_iters: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph -> dedup
+    clusters: (doc_id, cluster_id, cluster_size, is_canonical), with
+    ``cluster_id`` = the minimum doc id in the component and the
+    canonical row the one to KEEP in a dedup pass (reference dedup
+    semantics: every near-dup group keeps exactly one representative,
+    the rest are dropped — the cluster step the pair generators above
+    feed at 10^12 docs).
+
+    ``pairs`` is any verified near-dup pair set (``doc_a``, ``doc_b``):
+    :func:`minhash_lsh_pairs` is the 100 TB path, :func:`jaccard_pairs`
+    / :func:`simhash_near_pairs` work identically. When ``docs`` is
+    given, ids that appear in no pair come back as singleton clusters.
+
+    Algorithm: iterative min-label propagation. Each round is one
+    equi-join of the current labels onto the symmetric edge list plus
+    one groupBy-min — two hash shuffles on the node key, no windows, no
+    Python — and after k rounds every node holds the minimum label
+    within graph distance k, so the loop converges in diameter(G)
+    rounds. LSH/verify near-dup graphs are unions of near-cliques
+    (diameter 2-3 in practice); ``max_iters`` guards the pathological
+    path-graph case with a loud error rather than a silently-partial
+    clustering. The convergence probe is an aggregate-only diff count —
+    no driver-side data — and it fully materialises each round's
+    persisted labels, so lineage depth stays O(1) per round (the
+    previous round is unpersisted once its successor is cached).
+    """
+    sym = (pairs.select(F.col("doc_a").alias("node"),
+                        F.col("doc_b").alias("peer"))
+           .unionByName(pairs.select(F.col("doc_b").alias("node"),
+                                     F.col("doc_a").alias("peer")))
+           .persist())
+    # round 0: own id vs best direct neighbour
+    labels = (sym.groupBy("node")
+              .agg(F.least(F.min("peer"), F.col("node")).alias("label"))
+              .persist())
+    labels.count()
+    for _ in range(max_iters):
+        nb = (sym.join(labels.select(F.col("node").alias("peer"), "label"),
+                       "peer")
+              .groupBy("node").agg(F.min("label").alias("nb_min")))
+        new = (labels.join(nb, "node", "left")
+               .select("node",
+                       F.least("label", F.coalesce("nb_min", "label"))
+                       .alias("label"))
+               .persist())
+        # full count, not limit(1): the probe must touch EVERY partition
+        # of `new` so the persist above is fully materialised — a
+        # partial probe would leave uncached partitions whose lazy
+        # recomputation chains back through every earlier round
+        # (the previous labels appear twice per round, so unmaterialised
+        # lineage doubles per iteration)
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "node")
+                   .where(F.col("label") != F.col("old"))
+                   .count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iters} rounds "
+            f"(graph diameter exceeds the guard; raise max_iters)")
+    sym.unpersist()
+    out = labels.select(F.col("node").alias(id_col),
+                        F.col("label").alias("cluster_id"))
+    if docs is not None:
+        out = (docs.select(id_col).join(out, id_col, "left")
+               .select(id_col,
+                       F.coalesce("cluster_id", F.col(id_col))
+                       .alias("cluster_id")))
+    w = Window.partitionBy("cluster_id")
+    return (out
+            .withColumn("cluster_size", F.count("*").over(w))
+            .withColumn("is_canonical",
+                        F.col(id_col) == F.col("cluster_id")))
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             seed: int = 42, hash_mode: str = "xxhash") -> DataFrame:
     """SimHash per doc: per-token hash, per-bit +-1 vote, sign -> bit.

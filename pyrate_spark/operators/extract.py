@@ -37,6 +37,30 @@ def extract_series(pages: DataFrame, value_expr=None) -> DataFrame:
     )
 
 
+#: dotall so body text may span lines; anchored to the exact document
+#: shell datagen/ingest write, so a malformed payload extracts "" (and
+#: fails the invariant gate) rather than silently truncating
+HTML_BODY_RE = r"(?s)^<html><body>(.*)</body></html>$"
+
+
+def extract_text_html(pages: DataFrame,
+                      html_col: str = "html") -> DataFrame:
+    """Recover the extracted text from the raw ``html`` binary payload
+    (the S2 parse applied to the fat column instead of the carried
+    ``text``): UTF-8 decode + anchored dotall body regexp, all
+    JVM-side column algebra — no Python. Adds ``text_from_html``.
+
+    The BASELINE row invariant (byte-identical extracted text per url)
+    is what this recovers: ``text_from_html`` must equal the carried
+    ``text`` column byte-for-byte, gated by pytest on generated pages
+    and by the ``html_text_invariant`` oracle query on the documents
+    table."""
+    return pages.withColumn(
+        "text_from_html",
+        F.regexp_extract(F.decode(F.col(html_col), "UTF-8"),
+                         HTML_BODY_RE, 1))
+
+
 def to_mm_analog(series: DataFrame, wavelength: float) -> DataFrame:
     """Unit projection analog of radians->mm (shared.py:764-787):
     value * 1000 * wavelength / (4*pi). Idempotence is the caller's

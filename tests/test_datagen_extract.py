@@ -47,6 +47,21 @@ def test_text_invariant_through_pipeline(spark, pages):
     assert back.count() == pages.count()
 
 
+def test_html_text_recovery_byte_identical(spark, pages):
+    """extract_text_html recovers the carried text from the raw html
+    binary byte-for-byte (the row invariant recovered from the fat
+    column itself, not just re-joined); a malformed shell extracts ""
+    rather than a truncation."""
+    from pyrate_spark.operators.extract import extract_text_html
+    ex = extract_text_html(pages)
+    assert ex.where(F.col("text_from_html") != F.col("text")).count() == 0
+    assert ex.count() == pages.count()
+    broken = pages.withColumn(
+        "html", F.encode(F.lit("<html><body>oops</body>"), "UTF-8"))
+    bad = extract_text_html(broken).select("text_from_html").first()[0]
+    assert bad == ""
+
+
 def test_extract_parses_value(pages):
     s = extract_series(pages)
     row = s.where(F.col("value").isNotNull()).first()
