@@ -55,11 +55,21 @@ add("Hour -> day cascade",
     "scan total.",
     cascade_rollup(h, "1 day"))
 
-add("Pair network (J5 range self-join)",
-    "Both sides hash-shuffle on url once; the range predicate stays in the "
-    "join condition; per-epoch fanout cap is a windowed row_number over "
-    "the same partitioning (no extra exchange).",
+add("Pair network (J5 k-lead window, join-free)",
+    "r7 default: the k nearest FORWARD neighbours within the span are "
+    "exactly the next k rows in per-url timestamp order, so the whole "
+    "construction is k lead() shifts over ONE per-url ordered window — "
+    "one Exchange, no join, O(rows x k) instead of the range self-join's "
+    "rows x (span/step) candidate intermediate (72x fan-out on hourly "
+    "data with a 3-day span). The join path survives as via='range_join' "
+    "for duplicate-keyed input.",
     network_pairs(series, 2, 3))
+
+add("Pair network (via='range_join', duplicate-keyed fallback)",
+    "Both sides hash-shuffle on url once; the range predicate stays in "
+    "the join condition; per-epoch fanout cap is a windowed row_number "
+    "over the same partitioning (no extra exchange).",
+    network_pairs(series, 2, 3, via="range_join"))
 
 add("Per-url inversion (grouped-map kernel)",
     "salt -> explicit repartition(_bucket) -> ArrowEvalPython/FlatMapGroupsInPandas. "
