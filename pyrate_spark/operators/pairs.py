@@ -90,14 +90,22 @@ def network_pairs(series: DataFrame, max_span_days: int = 90,
     if via not in ("window", "range_join"):
         raise ValueError(f"via must be 'window' or 'range_join': {via!r}")
     nf = Window.partitionBy("url")
-    base = (series
-            .select("url", "warc_ts", value_col)
-            .withColumn("nan_fraction",
-                        F.avg(F.when(F.col(value_col).isNull(), 1.0)
-                               .otherwise(0.0)).over(nf)))
+    nan_frac = F.avg(F.when(F.col(value_col).isNull(), 1.0).otherwise(0.0))
     span = F.expr(f"INTERVAL {max_span_days} DAYS")
     if via == "window":
         w = nf.orderBy("warc_ts")
+        # nan_fraction over the SAME ordered spec (explicit full frame):
+        # identical partition+order lets Catalyst fuse it into the one
+        # Window node the lead() shifts use, so the per-url frame is
+        # sorted ONCE — the unordered spec planned a second Sort over
+        # the full input (measured: two Sort nodes under one Exchange).
+        # The summands are exact 0/1 doubles, so frame order cannot
+        # change the average.
+        base = (series
+                .select("url", "warc_ts", value_col)
+                .withColumn("nan_fraction", nan_frac.over(
+                    w.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))))
         nxt = F.array(*[
             F.struct(
                 F.lead("warc_ts", i).over(w).alias("ts_second"),
@@ -123,6 +131,9 @@ def network_pairs(series: DataFrame, max_span_days: int = 90,
                       - F.unix_timestamp("ts_first")).cast("double")
                      / F.lit(YEAR_SECONDS)).alias("time_span"),
                     "nan_fraction"))
+    base = (series
+            .select("url", "warc_ts", value_col)
+            .withColumn("nan_fraction", nan_frac.over(nf)))
     a = base.select(
         "url",
         F.col("warc_ts").alias("ts_first"),
