@@ -242,6 +242,15 @@ def main():
     eff = {s: round((r_lo["stages"][s] / r_hi["stages"][s]) / ratio, 3)
            for s in r_lo["stages"]}
     rows = r_lo["rows"]
+    if lo_env == "auto":
+        pair_how = ("The N-vs-4N pair is picked by probing what 4x "
+                    "headroom THIS box can deliver today (`pick_pair`).")
+    else:
+        pair_how = (f"This run FORCED {lo}v{hi} (`PYRATE_SCALE_N={lo}`)"
+                    " — on this box only the small pair holds its "
+                    "headroom across a full run (see run history); the "
+                    "launch criterion is two consecutive capacity "
+                    "probes showing >= 3.3x attainable.")
     result = {
         "metric": "scaling_efficiency",
         # the headline and the pass gate are the RAW N->4N efficiency,
@@ -259,6 +268,9 @@ def main():
         "efficiency_normalized_context": round(eff_total, 3),
         "pair_probe": {k: {n: round(v, 2) for n, v in d.items()}
                        for k, d in probe_ctx.items()},
+        # forced-pair launches record their pre-launch probe evidence
+        # (two consecutive attainable ratios) via env, for disclosure
+        "launch_probes": os.environ.get("PYRATE_SCALE_LAUNCH_PROBES", ""),
         "rows": rows, "pair_rows": r_lo["pair_rows"],
         "rel_rows": r_lo["rel_rows"], "rel_pairs": r_lo["rel_pairs"],
         "core_sec_n": round(core_lo, 2), "core_sec_4n": round(core_hi, 2),
@@ -304,8 +316,7 @@ load drift on this shared box cannot masquerade as a scaling property
 {speedup:.2f}x / {ratio:.0f}x = {eff_raw:.3f}** (target >= 0.8:
 {"PASS" if eff_raw >= 0.8 else "FAIL"})
 
-**Pair choice.** The N-vs-4N pair is picked by probing what 4x
-headroom THIS box can deliver today (`pick_pair`): capacity
+**Pair choice.** {pair_how} Post-run capacity stamp:
 {cap_lo:.1f} effective cores at {lo} procs, {cap_hi:.1f} at {hi}
 procs -> attainable speedup {attainable:.2f}x. Larger pairs saturate
 the shared microVM's memory/SMT budget (the same probe gave ~31
