@@ -33,13 +33,17 @@ def epoch_ids(series: DataFrame) -> DataFrame:
     """J1: per-url dense epoch ids, oldest = 0, plus year-fraction spans
     from the per-url first epoch (EpochList analog)."""
     w = Window.partitionBy("url").orderBy("warc_ts")
-    wall = Window.partitionBy("url")
+    # the per-url FIRST epoch is min(warc_ts) over the ordered window's
+    # default running frame (rows are ordered by warc_ts, so the running
+    # min IS the global min) — same spec as dense_rank, so Catalyst
+    # plans ONE Window node / one sort; a separate unordered spec
+    # planned a second Sort over the same Exchange
     return (series
             .withColumn("epoch_id", F.dense_rank().over(w) - 1)
             .withColumn(
                 "span_years",
                 (F.unix_timestamp("warc_ts")
-                 - F.unix_timestamp(F.min("warc_ts").over(wall))).cast("double")
+                 - F.unix_timestamp(F.min("warc_ts").over(w))).cast("double")
                 / F.lit(YEAR_SECONDS)))
 
 
