@@ -923,6 +923,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_chars").cast("long").alias("n_chars"))
     q["fingerprint_rolling"] = q_fingerprint_rolling
 
+    def q_corr_leadlag(spark, sf):
+        """Cross-series lead-lag correlation (new r7): densest-12
+        hourly series, Pearson r at lags -2..2 h, best |r| per pair
+        (correlate.py; VCM analog covariance.py:257-310). r is
+        float-squashed + rounded BEFORE the per-pair argmax so the
+        lag tie-break is engine-stable."""
+        from pyrate_spark.operators.correlate import corr_pairs
+        t = tier_rollup(_events(spark, sf), "1 hour", thresh=0.5)
+        pairs = corr_pairs(t, bucket_sec=3600, top_keys=12,
+                           min_overlap=6, lags=(-2, -1, 0, 1, 2))
+        r5 = F.round(F.col("r").cast("float").cast("double"), 5)
+        rounded = pairs.select("url_a", "url_b",
+                               F.col("lag").cast("long").alias("lag"),
+                               r5.alias("r"),
+                               F.col("n_overlap").cast("long")
+                               .alias("n_overlap"))
+        w = Window.partitionBy("url_a", "url_b").orderBy(
+            F.desc(F.abs(F.col("r"))), F.asc("lag"))
+        return (rounded.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") == 1)
+                .select("url_a", "url_b", F.col("lag").alias("best_lag"),
+                        "r", "n_overlap"))
+    q["corr_leadlag"] = q_corr_leadlag
+
+    def q_hash_split_assign(spark, sf):
+        """Deterministic train/val/test assignment (new r7): xor-shift
+        avalanche over doc_id, thresholded at the cumulative weights
+        (sampling.py). The gate pins the FULL assignment table — the
+        oracle replays the hash arithmetic bit-for-bit in SQL."""
+        from pyrate_spark.operators.sampling import hash_split
+        out = hash_split(_docs(spark, sf),
+                         weights={"train": 0.8, "val": 0.1, "test": 0.1})
+        return out.select("doc_id", "lang", "split")
+    q["hash_split_assign"] = q_hash_split_assign
+
+    def q_stratified_sample(spark, sf):
+        """Deterministic per-language hash sample (new r7): membership
+        is a pure function of (doc_id, salt) — rerun/cluster-size
+        invariant, unlike df.sampleBy. Exact row-set gate."""
+        from pyrate_spark.operators.sampling import stratified_sample
+        out = stratified_sample(
+            _docs(spark, sf),
+            fractions={"de": 0.5, "en": 0.25, "es": 0.75,
+                       "fr": 0.1, "zh": 1.0},
+            stratum_col="lang", salt=1)
+        return out.select("doc_id", "lang")
+    q["stratified_sample"] = q_stratified_sample
+
+    def q_profile_documents(spark, sf):
+        """Single-pass column profiler (new r7): per-column row/null/
+        distinct/min/max over documents in ONE aggregation
+        (profile.py). exact=True is the gate twin of the
+        approx_count_distinct scale default."""
+        from pyrate_spark.operators.profile import profile_columns
+        out = profile_columns(_docs(spark, sf),
+                              cols=["doc_id", "text", "lang", "source",
+                                    "n_chars"], exact=True)
+        return out.select("col_name",
+                          F.col("n_rows").cast("long").alias("n_rows"),
+                          F.col("n_null").cast("long").alias("n_null"),
+                          "null_fraction",
+                          F.col("n_distinct").cast("long")
+                          .alias("n_distinct"),
+                          "min_str", "max_str")
+    q["profile_documents"] = q_profile_documents
+
     def q_knn_bruteforce(spark, sf):
         out = sim.cosine_topk(_emb(spark, sf), QUERY_IDS, k=5)
         return out.select(F.col("query_id").cast("long").alias("query_id"),
@@ -2057,7 +2123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "epoch_ids", "fused_rates", "streaming_cascade_daily",
             # new r7 tail registrations (window frozen at 50 for the
             # round; rotate in a future round)
-            "dedup_clusters", "html_text_invariant"]
+            "dedup_clusters", "html_text_invariant",
+            # r7 late additions (correlate/sampling/profile families):
+            # tail for the same reason — locally gated via
+            # check_oracles at sf0.001 + sf0.01 this round
+            "corr_leadlag", "hash_split_assign", "stratified_sample",
+            "profile_documents"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3477,6 +3548,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, rec = text AS ok, md5(rec) AS text_md5
         FROM shell
     """
+
+    # --- correlate / sampling / profile (r7 late additions) ---
+    from pyrate_spark.operators.sampling import hash_uniform_sql
+
+    o["corr_leadlag"] = f"""
+        WITH h AS ({_HOURLY_SQL}),
+        f2 AS (SELECT url, bucket_unix, raw_avg AS v FROM h
+               WHERE null_fraction < 0.5 AND raw_avg IS NOT NULL),
+        cand AS (SELECT url FROM (
+            SELECT url, row_number() OVER (ORDER BY count(*) DESC, url)
+                   AS rk
+            FROM f2 GROUP BY url) WHERE rk <= 12),
+        base AS (SELECT * FROM f2 WHERE url IN (SELECT url FROM cand)),
+        lag_set AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
+        pairs AS (
+          SELECT a.url AS url_a, b.url AS url_b, l.lag,
+                 corr(a.v, b.v) AS r, count(*) AS n_overlap
+          FROM base a CROSS JOIN lag_set l
+          JOIN base b ON b.bucket_unix = a.bucket_unix + l.lag * 3600
+                     AND a.url < b.url
+          GROUP BY 1, 2, 3 HAVING count(*) >= 6),
+        rounded AS (
+          SELECT url_a, url_b, CAST(lag AS BIGINT) AS lag,
+                 round(CAST(CAST(r AS FLOAT) AS DOUBLE), 5) AS r,
+                 n_overlap
+          FROM pairs),
+        best AS (SELECT *, row_number() OVER (
+                   PARTITION BY url_a, url_b
+                   ORDER BY abs(r) DESC, lag) AS rk
+                 FROM rounded)
+        SELECT url_a, url_b, lag AS best_lag, r, n_overlap
+        FROM best WHERE rk = 1
+    """
+
+    o["hash_split_assign"] = f"""
+        SELECT doc_id, lang,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, lang,
+                     {hash_uniform_sql('doc_id', 0)} AS u
+              FROM documents)
+    """
+
+    o["stratified_sample"] = f"""
+        SELECT doc_id, lang
+        FROM (SELECT doc_id, lang,
+                     {hash_uniform_sql('doc_id', 1)} AS u
+              FROM documents)
+        WHERE u < CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 0.25
+                            WHEN 'es' THEN 0.75 WHEN 'fr' THEN 0.1
+                            WHEN 'zh' THEN 1.0 ELSE 0.0 END
+    """
+
+    _prof_col = """
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_null,
+               round((count(*) - count({c}))
+                     / CAST(count(*) AS DOUBLE), 6) AS null_fraction,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str
+        FROM documents
+    """
+    o["profile_documents"] = " UNION ALL ".join(
+        _prof_col.format(c=c)
+        for c in ("doc_id", "text", "lang", "source", "n_chars"))
 
     # --- MinHash LSH twin (md5 hash mode, seeds 42..57, 4 bands x 4) ---
     _mh = "CAST('0x' || substr(md5(shingle || '#{s}'), 1, 15) AS BIGINT)"
