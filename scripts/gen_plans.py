@@ -298,6 +298,35 @@ add("LTTB downsample (r6, exact fold)",
     "ewma/CUSUM/Holt folds.",
     lttb_downsample(series, 12, value_col="value", ts_col="warc_ts"))
 
+from pyrate_spark.operators.correlate import corr_pairs
+add("Cross-series lead-lag correlation (r7)",
+    "Candidate top-k is a TakeOrderedAndProject (distributed partial "
+    "top-k merged on the driver), NOT a global rank window — at 10^9 "
+    "keys a row_number() rank would funnel every key through one "
+    "executor. The candidate set then comes back as a BroadcastHashJoin "
+    "semi-join (config-sized build side), and the pair fan-out is "
+    "bounded at top_keys^2 per bucket before the single Pearson "
+    "hash-aggregate (map-side co-moment partials).",
+    corr_pairs(tier_rollup(series, "1 hour", 0.5), top_keys=8,
+               min_overlap=6, lags=(-1, 0, 1)))
+
+from pyrate_spark.operators.sampling import hash_split
+add("Deterministic hash split (r7)",
+    "No Exchange at all: the split label is narrow column algebra that "
+    "fuses into the scan's WholeStageCodegen span — assigning "
+    "train/val/test to 100 TB costs nothing beyond the scan already "
+    "being paid, and downstream split predicates push down.",
+    hash_split(pages.select(F.abs(F.xxhash64("url")).alias("doc_id"))))
+
+from pyrate_spark.operators.profile import profile_columns
+add("Column profiler (r7, single-pass approx)",
+    "ONE scan and ONE partial+final HashAggregate row for n columns "
+    "(HLL sketches merge map-side); the stack unpivot is a driver-free "
+    "projection of the single aggregate row. exact=True swaps HLL for "
+    "count_distinct and pays the n-way Expand — the documented gate-"
+    "only path.",
+    profile_columns(series, cols=["url", "value"]))
+
 out = ["# PLANS — physical-plan audit of the core operators",
        "",
        "Generated by scripts/gen_plans.py (`df.explain('formatted')` on",
