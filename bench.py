@@ -356,6 +356,20 @@ def main():
         meta["downsample_rows_per_sec"] = round(
             2 * n_raw / max(timings["downsample_suite"], 1e-9))
 
+    # ---- cross-series lead-lag correlation (new r7 stage) ----
+    if _want("correlation"):
+        from pyrate_spark.operators.correlate import best_lag, corr_pairs
+        hourly = tier_rollup(series, "1 hour", thresh=0.5).persist()
+        n_buckets = hourly.count()          # fill cache, untimed
+        timed("correlation",
+              lambda: best_lag(corr_pairs(hourly, bucket_sec=3600,
+                                          top_keys=64, min_overlap=12,
+                                          lags=(-2, -1, 0, 1, 2)))
+              .count())
+        hourly.unpersist()
+        meta["correlation_buckets_per_sec"] = round(
+            n_buckets / max(timings["correlation"], 1e-9))
+
     series.unpersist()
 
     # ---- driver tables ----
