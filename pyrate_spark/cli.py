@@ -61,6 +61,7 @@ RUN_KEYS = {
     "coh_thr": (float, 0.0),           # >0 masks values where coh < thr
     "correct_order": (str, "orbfit refphase apscorrect maxvar"),
     "closure": (int, 1),               # 1 = closure edge selection on
+    "stream_watermark": (str, "2 hours"),  # late-data bound, stream step
     "parallelism": (int, 0),           # 0 = session default
     "shuffle_partitions": (int, 0),
 }
@@ -77,6 +78,9 @@ CLI_DESCRIPTION = """pyrate-spark workflow:
     Step 6: merge
 
 Each step reads the previous step's parquet products from out_dir.
+`stream` (no reference analog) runs one incremental continuous-
+aggregate maintenance pass over the ingest table; `workflow` runs
+steps 1-6 in order.
 """
 
 
@@ -92,6 +96,7 @@ class RunConfig:
     coh_thr: float = 0.0
     correct_order: str = "orbfit refphase apscorrect maxvar"
     closure: int = 1
+    stream_watermark: str = "2 hours"
     parallelism: int = 0
     shuffle_partitions: int = 0
 
@@ -369,9 +374,67 @@ def step_merge(spark: SparkSession, rc: RunConfig,
     return _finish(rc, "merge", outputs)
 
 
+def step_stream(spark: SparkSession, rc: RunConfig,
+                force: bool = False) -> dict:
+    """Continuous-aggregate maintenance (the north-star's incremental
+    tier upkeep; no reference analog — PyRate recomputes): ONE
+    availableNow Structured-Streaming pass per invocation over the
+    ingest pages table, appending newly-finalised buckets of the first
+    tier under ``out_dir/stream``, then cascading each coarser tier
+    incrementally from the finer tier's table. Idempotence comes from
+    the per-tier streaming checkpoints, not a manifest: a re-run with
+    no new input files appends nothing, and scheduling this step
+    periodically IS the continuous aggregate. ``--force`` clears the
+    stream products and checkpoints and reprocesses from scratch.
+
+    Each pass runs as a single micro-batch (maxFilesPerTrigger is set
+    above any realistic backlog): with a multi-batch split, append
+    mode's watermark — advanced between batches — could silently drop
+    buckets of not-actually-late rows whose files sorted later
+    (documented in the streaming_rollup_hourly gate). Genuinely late
+    data (older than ``stream_watermark`` behind the frontier at a
+    later pass) is dropped by contract; route it through
+    plans/backfill.py instead."""
+    import shutil
+    base = _product(rc, "stream")
+    if force and os.path.exists(base):
+        shutil.rmtree(base)
+    pages_path = _require(rc, "stream", "ingest")
+    from pyrate_spark.streaming.tiers import (streaming_tier_rollup,
+                                              streaming_cascade_rollup)
+    cfg = rc.engine
+    ddl = spark.read.parquet(pages_path).schema
+    outputs: dict = {}
+    src_path, src_schema = pages_path, ddl
+    tier_ddl = ("url string, bucket_start timestamp, value_avg double, "
+                "null_fraction double, n_obs long")
+    for i, tier in enumerate(cfg.tiers):
+        slug = tier.replace(" ", "_")
+        out = os.path.join(base, f"tier_{slug}")
+        ckpt = os.path.join(base, f"_checkpoint_{slug}")
+        stream = (spark.readStream.schema(src_schema)
+                  .option("maxFilesPerTrigger", "1000000")
+                  .parquet(src_path))
+        tiers = (streaming_tier_rollup(stream, tier, thresh=cfg.nan_thresh,
+                                       watermark=rc.stream_watermark)
+                 if i == 0 else
+                 streaming_cascade_rollup(stream, tier,
+                                          thresh=cfg.nan_thresh,
+                                          watermark="0 seconds"))
+        job = (tiers.writeStream.format("parquet")
+               .option("path", out).option("checkpointLocation", ckpt)
+               .outputMode("append").trigger(availableNow=True).start())
+        job.awaitTermination()
+        outputs[f"tier_{slug}"] = out
+        src_path, src_schema = out, tier_ddl
+    log.info("stream: maintenance pass done -> %s", base)
+    return {"outputs": outputs}
+
+
 STEP_FNS = {"ingest": step_ingest, "prepifg": step_prepifg,
             "correct": step_correct, "timeseries": step_timeseries,
-            "stack": step_stack, "merge": step_merge}
+            "stack": step_stack, "merge": step_merge,
+            "stream": step_stream}
 
 
 def run_workflow(spark: SparkSession, rc: RunConfig,
@@ -393,7 +456,7 @@ def main(argv=None) -> int:
                         choices=["DEBUG", "INFO", "WARNING", "ERROR"])
     sub = parser.add_subparsers(dest="command")
     sub.required = True
-    for name in STEPS + ("workflow",):
+    for name in STEPS + ("stream", "workflow"):
         p = sub.add_parser(name)
         p.add_argument("-f", "--config_file", required=True)
         p.add_argument("--force", action="store_true",

@@ -152,6 +152,65 @@ salt_buckets: 4
     assert 0 < with_c.count() <= without.count()
 
 
+def test_stream_step_incremental_cascade(spark, tmp_path):
+    """The `stream` step: availableNow maintenance passes over the
+    ingest table maintain the tier cascade incrementally; once flushed
+    (far-future sentinel rows advance the watermark), the streamed
+    hourly tier equals the batch rollup bucket-for-bucket, and a pass
+    with no new input appends nothing."""
+    import datetime
+    from pyspark.sql import functions as F
+    from pyrate_spark.cli import STEP_FNS, step_stream
+    out = str(tmp_path / "st")
+    rc = parse_config(_write(tmp_path / "st.conf", f"""
+out_dir: {out}
+demo_urls: 10
+demo_epochs: 12
+demo_seed: 13
+tiers: 1 hour, 1 day
+stream_watermark: 0 seconds
+"""))
+    STEP_FNS["ingest"](spark, rc)
+    step_stream(spark, rc)
+
+    pages_path = f"{out}/ingest/pages"
+    pages = spark.read.parquet(pages_path)
+    mx = pages.agg(F.max("warc_ts")).first()[0]
+    for days in (40, 80):
+        flush_ts = mx + datetime.timedelta(days=days)
+        (pages.limit(1)
+         .withColumn("url", F.lit("__flush__"))
+         .withColumn("warc_ts", F.lit(flush_ts))
+         .write.mode("append").parquet(pages_path))
+        step_stream(spark, rc)
+
+    streamed = (spark.read.parquet(f"{out}/stream/tier_1_hour")
+                .where(F.col("url") != "__flush__"))
+    from pyrate_spark.operators.extract import extract_series
+    from pyrate_spark.operators.rollup import tier_rollup
+    batch = tier_rollup(
+        extract_series(pages.where(F.col("url") != "__flush__")),
+        "1 hour", thresh=rc.engine.nan_thresh)
+    got = {(r["url"], r["bucket_start"]): (r["n_obs"],
+                                           round(r["value_avg"] or 0, 9))
+           for r in streamed.collect()}
+    want = {(r["url"], r["bucket_start"]): (r["n_obs"],
+                                            round(r["value_avg"] or 0, 9))
+            for r in batch.collect()}
+    assert got == want and len(got) > 0
+    # daily cascade emitted too (flush propagates through the tiers)
+    daily = (spark.read.parquet(f"{out}/stream/tier_1_day")
+             .where(F.col("url") != "__flush__"))
+    assert daily.count() > 0
+
+    # no new input -> a further pass appends nothing
+    before = streamed.count()
+    step_stream(spark, rc)
+    after = (spark.read.parquet(f"{out}/stream/tier_1_hour")
+             .where(F.col("url") != "__flush__").count())
+    assert after == before
+
+
 def test_cli_subprocess_workflow(tmp_path):
     """`python -m pyrate_spark workflow -f conf` from a subprocess —
     the actual user entry (reference console_script `pyrate`)."""
