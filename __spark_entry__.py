@@ -989,6 +989,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "min_str", "max_str")
     q["profile_documents"] = q_profile_documents
 
+    def q_ohlc_hourly(spark, sf):
+        """Candlestick continuous aggregate (r7, rollup.ohlc_rollup —
+        TimescaleDB candlestick_agg): time-ordered open/close + high/
+        low per (url, hour). Every output value is a raw input value
+        passed through (endpoint selection, no arithmetic), so the
+        gate is EXACT with zero rounding."""
+        from pyrate_spark.operators.rollup import ohlc_rollup
+        t = ohlc_rollup(_events(spark, sf), "1 hour")
+        return t.select("url", _u("bucket_start").alias("bucket_unix"),
+                        "open", "high", "low", "close",
+                        _u("open_ts").alias("open_ts_unix"),
+                        _u("close_ts").alias("close_ts_unix"),
+                        F.col("n_valid").cast("long").alias("n_valid"))
+    q["ohlc_hourly"] = q_ohlc_hourly
+
+    def q_ohlc_daily_cascade(spark, sf):
+        """Candle mergeability gate (r7, rollup.ohlc_cascade —
+        TimescaleDB rollup(candlestick_agg)): hourly candles cascaded
+        to daily must equal a direct daily candle of raw — the oracle
+        IS the direct form, so a green row proves the cascade exact
+        (coarse tiers never rescan raw at scale)."""
+        from pyrate_spark.operators.rollup import ohlc_rollup, ohlc_cascade
+        t = ohlc_cascade(ohlc_rollup(_events(spark, sf), "1 hour"),
+                         "1 day")
+        return t.select("url", _u("bucket_start").alias("bucket_unix"),
+                        "open", "high", "low", "close",
+                        _u("open_ts").alias("open_ts_unix"),
+                        _u("close_ts").alias("close_ts_unix"),
+                        F.col("n_valid").cast("long").alias("n_valid"))
+    q["ohlc_daily_cascade"] = q_ohlc_daily_cascade
+
     def q_knn_bruteforce(spark, sf):
         out = sim.cosine_topk(_emb(spark, sf), QUERY_IDS, k=5)
         return out.select(F.col("query_id").cast("long").alias("query_id"),
@@ -3551,6 +3582,28 @@ def oracle_sql() -> dict[str, str]:
 
     # --- correlate / sampling / profile (r7 late additions) ---
     from pyrate_spark.operators.sampling import hash_uniform_sql
+
+    def _ohlc_sql(bucket_seconds: int) -> str:
+        return f"""
+        WITH s AS (
+          SELECT url,
+                 CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT) AS tu,
+                 value
+          FROM ({ev}))
+        SELECT url, tu // {bucket_seconds} * {bucket_seconds} AS bucket_unix,
+               arg_min(value, tu) FILTER (WHERE value IS NOT NULL) AS open,
+               max(value) AS high, min(value) AS low,
+               arg_max(value, tu) FILTER (WHERE value IS NOT NULL) AS close,
+               min(tu) FILTER (WHERE value IS NOT NULL) AS open_ts_unix,
+               max(tu) FILTER (WHERE value IS NOT NULL) AS close_ts_unix,
+               count(value) AS n_valid
+        FROM s GROUP BY 1, 2 HAVING count(value) > 0
+    """
+
+    o["ohlc_hourly"] = _ohlc_sql(3600)
+    # the cascade's oracle is the DIRECT daily candle: green = cascade
+    # is exactly the direct rollup (mergeability proof)
+    o["ohlc_daily_cascade"] = _ohlc_sql(86400)
 
     o["corr_leadlag"] = f"""
         WITH h AS ({_HOURLY_SQL}),

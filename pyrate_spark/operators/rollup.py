@@ -220,6 +220,64 @@ def gapfill_tier(tier_df: DataFrame, tier: str = "1 hour",
         .when(prev.isNotNull() & nxt.isNotNull(), lerp))
 
 
+def ohlc_rollup(series: DataFrame, tier: str = "1 hour",
+                value_col: str = "value",
+                ts_col: str = "warc_ts") -> DataFrame:
+    """Candlestick continuous aggregate (TimescaleDB candlestick_agg;
+    the financial OHLC bar): per (url, bucket) the time-ordered open
+    and close values with their timestamps, plus high/low, over the
+    valid (non-NULL) observations. Buckets with no valid observation
+    are dropped — a candle needs at least one trade.
+
+    All five value columns are raw input values passed through (no
+    arithmetic), so the SQL oracle needs no rounding. Unlike
+    ``tier_rollup_stats``'s order statistics, OHLC is MERGEABLE:
+    ``ohlc_cascade`` rolls tier N-1 candles into tier N exactly
+    (open = open of earliest child, close = close of latest, high/low
+    = max/min), so coarse tiers never rescan raw data. One hash
+    aggregation, one shuffle, no window, no UDF. Requires unique
+    (url, ts) within a bucket for deterministic endpoints — canonical
+    sources collapse duplicates upstream (``_events`` contract, same
+    as network_pairs)."""
+    v, ts = F.col(value_col), F.col(ts_col)
+    valid_ts = F.when(v.isNotNull(), ts)     # min_by/max_by skip NULL keys
+    win = F.window(ts_col, tier)
+    return (series
+            .groupBy("url", win.alias("w"))
+            .agg(F.min_by(v, valid_ts).alias("open"),
+                 F.max(v).alias("high"),
+                 F.min(v).alias("low"),
+                 F.max_by(v, valid_ts).alias("close"),
+                 F.min(valid_ts).alias("open_ts"),
+                 F.max(valid_ts).alias("close_ts"),
+                 F.count(v).alias("n_valid"))
+            .where(F.col("n_valid") > 0)
+            .select("url", F.col("w.start").alias("bucket_start"),
+                    "open", "high", "low", "close",
+                    "open_ts", "close_ts", "n_valid"))
+
+
+def ohlc_cascade(prev_tier: DataFrame, tier: str) -> DataFrame:
+    """Candle N-1 -> candle N without touching raw data (TimescaleDB
+    `rollup(candlestick_agg)`): endpoints selected by child endpoint
+    timestamps, extrema by min/max — exact, equal to a direct
+    ``ohlc_rollup`` of raw at the coarser tier (pytest-pinned
+    bit-equality)."""
+    win = F.window("bucket_start", tier)
+    return (prev_tier
+            .groupBy("url", win.alias("w"))
+            .agg(F.min_by("open", "open_ts").alias("open"),
+                 F.max("high").alias("high"),
+                 F.min("low").alias("low"),
+                 F.max_by("close", "close_ts").alias("close"),
+                 F.min("open_ts").alias("open_ts"),
+                 F.max("close_ts").alias("close_ts"),
+                 F.sum("n_valid").alias("n_valid"))
+            .select("url", F.col("w.start").alias("bucket_start"),
+                    "open", "high", "low", "close",
+                    "open_ts", "close_ts", "n_valid"))
+
+
 def cumulative(tier_df: DataFrame, value_col: str = "value_avg") -> DataFrame:
     """A6: running total per url ordered by bucket — the tscuml analog
     (timeseries.py:152-153) as the canonical cumsum window."""

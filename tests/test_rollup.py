@@ -239,3 +239,40 @@ def test_topk_per_bucket_ties_and_validation(spark):
     assert got == [("c", 1), ("a", 2)]   # tie a/b -> url asc; null out
     with pytest.raises(ValueError):
         topk_per_bucket(tier, k=0)
+
+
+def test_ohlc_rollup_endpoints_and_null_skip(spark):
+    from pyrate_spark.operators.rollup import ohlc_rollup
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [("u", base + dt.timedelta(minutes=m), v) for m, v in
+            [(0, None), (5, 3.0), (10, 9.0), (20, 1.0), (40, 4.0),
+             (59, None)]] + \
+           [("v", base, None)]          # all-null url -> no candle
+    series = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double")
+    got = ohlc_rollup(series, "1 hour").collect()
+    assert len(got) == 1                # v's empty candle dropped
+    r = got[0]
+    # open/close are the first/last VALID values, not the null edges
+    assert (r["open"], r["high"], r["low"], r["close"]) == (3.0, 9.0,
+                                                            1.0, 4.0)
+    assert r["open_ts"] == base + dt.timedelta(minutes=5)
+    assert r["close_ts"] == base + dt.timedelta(minutes=40)
+    assert r["n_valid"] == 4
+
+
+def test_ohlc_cascade_equals_direct(spark):
+    """Mergeability: hourly candles cascaded to daily are bit-equal to
+    a direct daily candle of the raw series."""
+    from pyrate_spark.datagen import generate_pages
+    from pyrate_spark.operators.extract import extract_series
+    from pyrate_spark.operators.rollup import ohlc_rollup, ohlc_cascade
+    series = extract_series(generate_pages(
+        spark, n_urls=15, epochs_per_url=30, step_hours=3,
+        null_pct=15, seed=21))
+    direct = ohlc_rollup(series, "1 day")
+    cascaded = ohlc_cascade(ohlc_rollup(series, "1 hour"), "1 day")
+    key = lambda r: (r["url"], r["bucket_start"])
+    d = {key(r): r.asDict() for r in direct.collect()}
+    c = {key(r): r.asDict() for r in cascaded.collect()}
+    assert d == c and len(d) > 0
