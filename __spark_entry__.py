@@ -1020,6 +1020,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_valid").cast("long").alias("n_valid"))
     q["ohlc_daily_cascade"] = q_ohlc_daily_cascade
 
+    def q_histogram_tier_hourly(spark, sf):
+        """Mergeable fixed-bin histogram tier (r7,
+        rollup.histogram_rollup — TimescaleDB histogram() with under/
+        overflow edge bins): exact integer bin counts per (url, hour),
+        gated as exploded (bin, cnt) rows with zero counts filtered on
+        both sides. [0, 256) x 16 bins = width 16 (a power of two, so
+        the floor-division bin index is IEEE-identical cross-engine);
+        the sf values reach ~327, exercising the overflow bin."""
+        from pyrate_spark.operators.rollup import histogram_rollup
+        h = histogram_rollup(_events(spark, sf), "1 hour",
+                             lo=0.0, hi=256.0, n_bins=16)
+        return (h.select("url", _u("bucket_start").alias("bucket_unix"),
+                         F.posexplode("counts").alias("bin", "cnt"))
+                 .where(F.col("cnt") > 0)
+                 .select("url", "bucket_unix",
+                         F.col("bin").cast("long").alias("bin"),
+                         F.col("cnt").cast("long").alias("cnt")))
+    q["histogram_tier_hourly"] = q_histogram_tier_hourly
+
+    def q_histogram_tier_cascade(spark, sf):
+        """Histogram mergeability gate (r7, rollup.histogram_cascade):
+        hourly bins summed to daily must equal the direct daily
+        histogram of raw — the oracle IS the direct form (the OHLC
+        cascade-gate pattern), so green = binned distributions cascade
+        exactly and coarse-tier percentiles never rescan raw."""
+        from pyrate_spark.operators.rollup import (histogram_rollup,
+                                                   histogram_cascade)
+        h = histogram_cascade(
+            histogram_rollup(_events(spark, sf), "1 hour",
+                             lo=0.0, hi=256.0, n_bins=16),
+            "1 day", n_bins=16)
+        return (h.select("url", _u("bucket_start").alias("bucket_unix"),
+                         F.posexplode("counts").alias("bin", "cnt"))
+                 .where(F.col("cnt") > 0)
+                 .select("url", "bucket_unix",
+                         F.col("bin").cast("long").alias("bin"),
+                         F.col("cnt").cast("long").alias("cnt")))
+    q["histogram_tier_cascade"] = q_histogram_tier_cascade
+
     def q_knn_bruteforce(spark, sf):
         out = sim.cosine_topk(_emb(spark, sf), QUERY_IDS, k=5)
         return out.select(F.col("query_id").cast("long").alias("query_id"),
@@ -3604,6 +3643,33 @@ def oracle_sql() -> dict[str, str]:
     # the cascade's oracle is the DIRECT daily candle: green = cascade
     # is exactly the direct rollup (mergeability proof)
     o["ohlc_daily_cascade"] = _ohlc_sql(86400)
+
+    def _hist_sql(bucket_seconds: int) -> str:
+        # identical bin expression as the Spark side: width 16.0 is a
+        # power of two so floor((v - 0)/16) agrees bit-for-bit
+        return f"""
+        WITH s AS (
+          SELECT url,
+                 CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT) AS tu,
+                 value
+          FROM ({ev})),
+        b AS (
+          SELECT url, tu // {bucket_seconds} * {bucket_seconds}
+                     AS bucket_unix,
+                 CASE WHEN value IS NULL THEN NULL
+                      WHEN value < 0.0 THEN 0
+                      WHEN value >= 256.0 THEN 17
+                      ELSE CAST(floor((value - 0.0) / 16.0) AS INT) + 1
+                 END AS bin
+          FROM s)
+        SELECT url, bucket_unix, CAST(bin AS BIGINT) AS bin,
+               count(*) AS cnt
+        FROM b WHERE bin IS NOT NULL GROUP BY 1, 2, 3
+    """
+
+    o["histogram_tier_hourly"] = _hist_sql(3600)
+    # direct daily oracle proves the cascade exact (OHLC pattern)
+    o["histogram_tier_cascade"] = _hist_sql(86400)
 
     o["corr_leadlag"] = f"""
         WITH h AS ({_HOURLY_SQL}),

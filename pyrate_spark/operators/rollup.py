@@ -278,6 +278,106 @@ def ohlc_cascade(prev_tier: DataFrame, tier: str) -> DataFrame:
                     "open_ts", "close_ts", "n_valid"))
 
 
+def histogram_rollup(series: DataFrame, tier: str = "1 hour",
+                     lo: float = 0.0, hi: float = 1.0, n_bins: int = 16,
+                     value_col: str = "value",
+                     ts_col: str = "warc_ts") -> DataFrame:
+    """Mergeable fixed-bin histogram tier (TimescaleDB ``histogram(v,
+    lo, hi, n)``; the Prometheus classic-histogram bucket role): per
+    (url, bucket) the EXACT integer count per bin, with dedicated
+    underflow (v < lo) and overflow (v >= hi) edge bins — ``counts``
+    has n_bins + 2 entries, index 0 = underflow, n_bins + 1 = overflow.
+
+    This is the scale path for percentiles that ``tier_rollup_stats``'s
+    docstring defers: order statistics don't cascade, binned histograms
+    do — ``histogram_cascade`` sums bins elementwise, so any coarser
+    tier's distribution (and a quantile estimate from it,
+    ``histogram_quantile_est``) comes from the finer tier without
+    rescanning raw. One hash aggregation (n_bins + 2 fused count-when
+    aggregates — the same two-band trick as tier_rollup), one shuffle,
+    no window, no UDF; counts are integers so cross-engine gates need
+    no rounding. Bin index is ``floor((v - lo) / width)`` with width
+    precomputed — replicate the same expression in any replay so IEEE
+    division agrees bit-for-bit."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError(f"need n_bins >= 1 and hi > lo: {n_bins}, "
+                         f"[{lo}, {hi})")
+    v = F.col(value_col)
+    width = (hi - lo) / n_bins
+    idx = (F.when(v.isNull(), None)
+            .when(v < F.lit(lo), 0)
+            .when(v >= F.lit(hi), n_bins + 1)
+            .otherwise(F.floor((v - F.lit(lo)) / F.lit(width))
+                       .cast("int") + 1))
+    win = F.window(ts_col, tier)
+    cnt = [F.count(F.when(idx == i, 1)).alias(f"_b{i}")
+           for i in range(n_bins + 2)]
+    return (series
+            .groupBy("url", win.alias("w"))
+            .agg(*cnt, F.count(v).alias("n_valid"))
+            .select("url", F.col("w.start").alias("bucket_start"),
+                    F.array(*[F.col(f"_b{i}")
+                              for i in range(n_bins + 2)]).alias("counts"),
+                    "n_valid"))
+
+
+def histogram_cascade(hist_df: DataFrame, tier: str,
+                      n_bins: int = 16) -> DataFrame:
+    """Histogram tier N-1 -> tier N by elementwise bin summation —
+    exact (integer addition commutes), equal to a direct
+    ``histogram_rollup`` of raw at the coarser tier. ``n_bins`` must
+    match the producer's."""
+    win = F.window("bucket_start", tier)
+    sums = [F.sum(F.element_at("counts", i + 1)).alias(f"_b{i}")
+            for i in range(n_bins + 2)]
+    return (hist_df
+            .groupBy("url", win.alias("w"))
+            .agg(*sums, F.sum("n_valid").alias("n_valid"))
+            .select("url", F.col("w.start").alias("bucket_start"),
+                    F.array(*[F.col(f"_b{i}")
+                              for i in range(n_bins + 2)]).alias("counts"),
+                    "n_valid"))
+
+
+def histogram_quantile_est(hist_df: DataFrame, q: float,
+                           lo: float = 0.0, hi: float = 1.0,
+                           n_bins: int = 16) -> DataFrame:
+    """Quantile estimate from a binned histogram tier (the Prometheus
+    histogram_quantile recipe on classic buckets): find the first
+    in-range bin whose running count reaches ``ceil(q * n_in)`` and
+    interpolate linearly inside it. Underflow clamps to ``lo``,
+    overflow to ``hi`` (Prometheus's +Inf -> highest-finite rule).
+    Estimation error is bounded by one bin width — the documented
+    cascade trade-off vs tier_rollup_stats' exact order statistics."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1]: {q}")
+    width = (hi - lo) / n_bins
+    in_range = F.slice("counts", 2, n_bins)              # drop edge bins
+    n_in = F.aggregate(in_range, F.lit(0).cast("long"),
+                       lambda a, x: a + x)
+    rank = F.ceil(n_in * F.lit(q)).cast("long")
+    # running cumulative counts per bin, then the first index reaching
+    # the rank — all array algebra, no explode
+    cum = F.transform(
+        in_range,
+        lambda _x, i: F.aggregate(F.slice(in_range, 1, i + 1),
+                                  F.lit(0).cast("long"),
+                                  lambda a, x: a + x))
+    pos = F.array_position(F.transform(cum, lambda c: c >= rank), True)
+    cum_before = F.when(pos > 1, F.element_at(cum, (pos - 1).cast("int"))
+                        ).otherwise(F.lit(0))
+    in_bin = F.element_at(in_range, pos.cast("int"))
+    est = (F.lit(lo) + (pos.cast("double") - 1) * F.lit(width)
+           + F.lit(width) * (rank - cum_before) / in_bin)
+    return (hist_df
+            .withColumn("_n_in", n_in)
+            .where(F.col("_n_in") > 0)
+            .select("url", "bucket_start",
+                    F.least(F.greatest(est, F.lit(lo)),
+                            F.lit(hi)).alias("q_est"),
+                    F.col("_n_in").alias("n_in_range")))
+
+
 def cumulative(tier_df: DataFrame, value_col: str = "value_avg") -> DataFrame:
     """A6: running total per url ordered by bucket — the tscuml analog
     (timeseries.py:152-153) as the canonical cumsum window."""

@@ -276,3 +276,64 @@ def test_ohlc_cascade_equals_direct(spark):
     d = {key(r): r.asDict() for r in direct.collect()}
     c = {key(r): r.asDict() for r in cascaded.collect()}
     assert d == c and len(d) > 0
+
+
+def test_histogram_rollup_bins_edges_and_null_skip(spark):
+    from pyrate_spark.operators.rollup import histogram_rollup
+    base = dt.datetime(2024, 1, 1, 10)
+    # lo=0, hi=8, n_bins=4 -> width 2; bins: under,| [0,2) [2,4) [4,6) [6,8) |,over
+    vals = [-1.0, 0.0, 1.9, 2.0, 7.9, 8.0, 100.0, None]
+    rows = [("u", base + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    series = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double")
+    got = histogram_rollup(series, "1 hour", lo=0.0, hi=8.0,
+                           n_bins=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["counts"] == [1, 2, 1, 0, 1, 2]   # under,4 bins,over
+    assert r["n_valid"] == 7                   # NULL skipped
+    with pytest.raises(ValueError):
+        histogram_rollup(series, "1 hour", lo=1.0, hi=1.0)
+
+
+def test_histogram_cascade_equals_direct(spark):
+    from pyrate_spark.datagen import generate_pages
+    from pyrate_spark.operators.extract import extract_series
+    from pyrate_spark.operators.rollup import (histogram_rollup,
+                                               histogram_cascade)
+    series = extract_series(generate_pages(
+        spark, n_urls=12, epochs_per_url=30, step_hours=3,
+        null_pct=10, seed=33))
+    kw = dict(lo=-50.0, hi=50.0, n_bins=8)
+    direct = histogram_rollup(series, "1 day", **kw)
+    casc = histogram_cascade(histogram_rollup(series, "1 hour", **kw),
+                             "1 day", n_bins=8)
+    key = lambda r: (r["url"], r["bucket_start"])
+    d = {key(r): (r["counts"], r["n_valid"]) for r in direct.collect()}
+    c = {key(r): (r["counts"], r["n_valid"]) for r in casc.collect()}
+    assert d == c and len(d) > 0
+
+
+def test_histogram_quantile_est_vs_manual(spark):
+    import math
+    from pyrate_spark.operators.rollup import (histogram_rollup,
+                                               histogram_quantile_est)
+    base = dt.datetime(2024, 1, 1, 10)
+    vals = [1.0, 3.0, 3.5, 5.0, 9.5, 9.9, 12.0]   # 12.0 overflows hi=10
+    rows = [("u", base + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    series = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, value double")
+    hist = histogram_rollup(series, "1 hour", lo=0.0, hi=10.0, n_bins=5)
+    r = histogram_quantile_est(hist, 0.5, lo=0.0, hi=10.0,
+                               n_bins=5).first()
+    # in-range counts per width-2 bin: [1, 2, 1, 0, 2]; n_in=6,
+    # rank=ceil(0.5*6)=3 -> bin 2 ([2,4)), cum_before=1, in_bin=2
+    # est = 2 + 2*(3-1)/2 = 4.0
+    assert r["n_in_range"] == 6
+    assert math.isclose(r["q_est"], 4.0)
+    # estimate within one bin width of the true in-range median (3.5)
+    assert abs(r["q_est"] - 3.5) <= 2.0
+    with pytest.raises(ValueError):
+        histogram_quantile_est(hist, 0.0)
