@@ -356,6 +356,30 @@ def main():
         meta["downsample_rows_per_sec"] = round(
             2 * n_raw / max(timings["downsample_suite"], 1e-9))
 
+    # ---- mergeable distribution aggregates (new r7 stage) ----
+    if _want("mergeable_aggs"):
+        from pyrate_spark.operators.rollup import (histogram_cascade,
+                                                   histogram_rollup,
+                                                   ohlc_cascade,
+                                                   ohlc_rollup)
+        n_raw = meta["pages_rows"]
+
+        def mergeable():
+            oh = ohlc_rollup(series, "1 hour").persist()
+            n = oh.count() + ohlc_cascade(oh, "1 day").count()
+            oh.unpersist()
+            hh = histogram_rollup(series, "1 hour",
+                                  lo=-50.0, hi=50.0, n_bins=16).persist()
+            n += hh.count() + histogram_cascade(hh, "1 day",
+                                                n_bins=16).count()
+            hh.unpersist()
+            return n
+
+        timed("mergeable_aggs", mergeable)
+        # two raw scans (OHLC + histogram); cascades read tiers
+        meta["mergeable_rows_per_sec"] = round(
+            2 * n_raw / max(timings["mergeable_aggs"], 1e-9))
+
     # ---- cross-series lead-lag correlation (new r7 stage) ----
     if _want("correlation"):
         from pyrate_spark.operators.correlate import best_lag, corr_pairs

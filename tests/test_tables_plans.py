@@ -200,3 +200,25 @@ def test_rate_grid_no_single_partition_exchange(spark):
     # the preview contract is enforced by the function, not the caller
     with pytest.raises(ValueError, match="max_pixels"):
         rate_grid(per, width=16, max_pixels=100).count()
+
+
+def test_mergeable_aggs_single_exchange(spark):
+    """OHLC and histogram tiers are each ONE hash aggregation: one
+    Exchange from raw, partial aggregation map-side, no window, no
+    Python; their cascades likewise shuffle once from the tier."""
+    from pyrate_spark.operators.rollup import (histogram_cascade,
+                                               histogram_rollup,
+                                               ohlc_cascade, ohlc_rollup)
+    s = extract_series(generate_pages(spark, n_urls=20, epochs_per_url=10,
+                                      seed=4))
+    oh = ohlc_rollup(s, "1 hour")
+    hh = histogram_rollup(s, "1 hour", lo=0.0, hi=10.0, n_bins=4)
+    assert exchange_count(oh) == 1
+    assert exchange_count(hh) == 1
+    for df in (oh, hh):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "Python" not in plan
+        assert "partial" in plan.lower()     # map-side combine present
+    assert exchange_count(ohlc_cascade(oh.localCheckpoint(), "1 day")) == 1
+    assert exchange_count(histogram_cascade(hh.localCheckpoint(), "1 day",
+                                            n_bins=4)) == 1
