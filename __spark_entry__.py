@@ -2191,6 +2191,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             #                      streaming_rollup_hourly +
             #                      streaming_tier_suite
             "epoch_ids", "fused_rates", "streaming_cascade_daily",
+            # r7 third pass: the OHLC + histogram-tier additions (4
+            # in-window registrations) pushed the non-tail set back to
+            # 54, silently dropping positions 50-53 (swinging_door,
+            # m4_downsample, quicklook_classmap, rollup_stats) out of
+            # the gate — rollup_stats AGAIN being one of the
+            # never-driver-checked nine. Retire four green-in-r6,
+            # unchanged-machinery entries:
+            #   anomaly_zscore_hourly — green r6; z-score fold re-gated
+            #                      in-window by streaming_alert_suite's
+            #                      bit-equal streaming twin
+            #   cusum_changepoint — green r6; CUSUM fold re-gated the
+            #                      same way (streaming_alert_suite)
+            #   ewma_hourly       — green r6; the exact-fold recurrence
+            #                      family is re-gated in-window by
+            #                      holt_forecast (its trend-aware form)
+            #   snapshot_time_travel — green r6; the snapshot store is
+            #                      re-gated in-window by
+            #                      snapshot_merge_upsert (never-checked,
+            #                      same commit/manifest machinery + MERGE)
+            "anomaly_zscore_hourly", "cusum_changepoint",
+            "ewma_hourly", "snapshot_time_travel",
             # new r7 tail registrations (window frozen at 50 for the
             # round; rotate in a future round)
             "dedup_clusters", "html_text_invariant",
