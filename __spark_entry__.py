@@ -923,6 +923,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_chars").cast("long").alias("n_chars"))
     q["fingerprint_rolling"] = q_fingerprint_rolling
 
+    def q_domain_extract(spark, sf):
+        """URL canonicalisation gate (new r7): deterministic synthetic
+        URLs over documents (subdomain / multi-label-suffix / port-free
+        variety from doc_id arithmetic — same construction replayed in
+        the oracle), then registrable_domain()'s host + PSL-shaped
+        extraction checked per row. The group-by-domain rollup this
+        feeds is plain groupBy, gated elsewhere a dozen ways."""
+        d = _docs(spark, sf)
+        suffix = F.element_at(
+            F.array(F.lit("com"), F.lit("co.uk"), F.lit("org")),
+            (F.col("doc_id") % 3 + 1).cast("int"))
+        sub = (F.when(F.col("doc_id") % 2 == 0, F.lit("www."))
+                .otherwise(F.lit("")))
+        url = F.concat(F.lit("https://"), sub, F.col("source"),
+                       F.lit("."), suffix, F.lit("/"), F.col("lang"),
+                       F.lit("/"), F.col("doc_id").cast("string"))
+        return tx.registrable_domain(
+            d.select("doc_id", url.alias("url")))
+    q["domain_extract"] = q_domain_extract
+
+    def q_gopher_repetition(spark, sf):
+        """Gopher/C4 repetition quality gate (new r7): whitespace
+        tokens, distinct-token ratio, top-token fraction and the
+        keep/drop decision per document — explode + two hash aggs,
+        SQL-replayable exactly (counts are integers; ratios rounded
+        identically both sides)."""
+        return tx.repetition_stats(_docs(spark, sf))
+    q["gopher_repetition"] = q_gopher_repetition
+
     def q_corr_leadlag(spark, sf):
         """Cross-series lead-lag correlation (new r7): densest-12
         hourly series, Pearson r at lags -2..2 h, best |r| per pair
@@ -2219,7 +2248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # tail for the same reason — locally gated via
             # check_oracles at sf0.001 + sf0.01 this round
             "corr_leadlag", "hash_split_assign", "stratified_sample",
-            "profile_documents"]
+            "profile_documents",
+            # r7 final additions (webtext canonicalisation + Gopher
+            # repetition filters): tail — locally gated via
+            # check_oracles at sf0.001 + sf0.01 this round
+            "domain_extract", "gopher_repetition"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3919,6 +3952,68 @@ def oracle_sql() -> dict[str, str]:
                         END)) AS rh_min_window,
                CAST(n AS BIGINT) AS n_chars
         FROM h
+    """
+
+    # registrable-domain twin: identical regexes (ASCII classes — Java
+    # regex and RE2 agree) and identical 1-based label-slice arithmetic
+    _psl = ", ".join(f"'{s}'" for s in sorted(tx.MULTI_SUFFIXES))
+    o["domain_extract"] = f"""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://'
+                 || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+                 || source || '.'
+                 || list_extract(['com', 'co.uk', 'org'],
+                                 CAST(doc_id % 3 + 1 AS INT))
+                 || '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                     '^.*@', ''), ':[0-9]+$', '') AS host
+          FROM u),
+        l AS (
+          SELECT doc_id, host, string_split(host, '.') AS labels,
+                 len(string_split(host, '.')) AS n
+          FROM h),
+        r AS (
+          SELECT doc_id, host,
+                 CASE WHEN n <= 1 THEN host
+                      WHEN n >= 3 AND array_to_string(
+                               labels[n-1:n], '.') IN ({_psl})
+                           THEN array_to_string(labels[n-2:n], '.')
+                      ELSE array_to_string(labels[n-1:n], '.')
+                 END AS registrable
+          FROM l)
+        SELECT doc_id, host, registrable,
+               host <> registrable AS is_subdomain
+        FROM r
+    """
+
+    o["gopher_repetition"] = r"""
+        WITH w AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)),
+                                             '\s+')) AS word
+            FROM documents)
+          WHERE word <> ''),
+        pw AS (SELECT doc_id, word, count(*) AS cnt
+               FROM w GROUP BY doc_id, word),
+        ag AS (SELECT doc_id,
+                      CAST(sum(cnt) AS BIGINT) AS n_words,
+                      CAST(count(*) AS BIGINT) AS n_distinct,
+                      CAST(max(cnt) AS BIGINT) AS top_count
+               FROM pw GROUP BY doc_id)
+        SELECT doc_id, n_words, n_distinct,
+               round(CAST(top_count AS DOUBLE) / n_words, 6)
+                   AS top_word_frac,
+               round(CAST(n_distinct AS DOUBLE) / n_words, 6)
+                   AS distinct_ratio,
+               (CAST(top_count AS DOUBLE) / n_words <= 0.2
+                AND CAST(n_distinct AS DOUBLE) / n_words >= 0.3) AS keep
+        FROM ag
     """
 
     o["knn_bruteforce"] = f"""

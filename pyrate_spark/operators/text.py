@@ -102,6 +102,82 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.md5(F.trim(norm)).alias("fp"))
 
 
+# Multi-label public suffixes recognised by registrable_domain (an
+# embedded, documented SUBSET of the public-suffix list — the operator
+# contract is "PSL-shaped extraction with a pluggable suffix set", not
+# a vendored copy of the full list; pass `extra_suffixes` for more)
+MULTI_SUFFIXES = ("ac.uk", "co.in", "co.jp", "co.nz", "co.uk",
+                  "com.au", "com.br", "gov.uk", "net.au", "org.uk")
+
+
+def registrable_domain(docs: DataFrame, url_col: str = "url",
+                       extra_suffixes: tuple[str, ...] = ()) -> DataFrame:
+    """URL canonicalisation for per-site aggregation (the Common-Crawl
+    pipeline's group-by-domain primitive): host extraction (scheme,
+    userinfo and port stripped, lowercased) plus the registrable domain
+    — the last two host labels, or three when the last two form a known
+    multi-label public suffix (co.uk and friends).
+
+    Pure column algebra on regexes/arrays shared verbatim with the SQL
+    oracle (ASCII classes only, so Java regex and RE2 agree); one
+    narrow projection, no shuffle — grouping by the result is the
+    caller's (fine-grained, skew-diluted) shuffle key.
+    """
+    suffixes = sorted(set(MULTI_SUFFIXES) | set(extra_suffixes))
+    raw = F.regexp_extract(F.col(url_col),
+                           r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(raw), "^.*@", ""), ":[0-9]+$", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    reg = (F.when(n <= 1, host)
+            .when((n >= 3) & last2.isin(*suffixes),
+                  F.array_join(F.slice(labels, n - 2, 3), "."))
+            .otherwise(last2))
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        reg.alias("registrable"),
+        (host != reg).alias("is_subdomain"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     max_top_word_frac: float = 0.2,
+                     min_distinct_ratio: float = 0.3) -> DataFrame:
+    """Gopher/C4-style repetition quality signals: per document the
+    whitespace-token count, distinct-token ratio and top-token fraction
+    (count of the most frequent token / all tokens), plus the keep/drop
+    gate at the given thresholds (repetitious pages are the classic
+    web-scrape failure mode those filters target).
+
+    Scale shape: explode -> two partial-aggregable hash aggregations
+    keyed on (doc_id, word) then doc_id — linear in corpus size with
+    fine-grained (skew-diluted) shuffle keys, never the O(distinct x
+    len) per-row array scan a lambda-based mode would cost on long
+    documents. Emitting the top COUNT (not the word) keeps the result
+    deterministic with no tie-break machinery. Empty documents drop
+    out (no tokens -> no rows), documented like pair-less urls.
+    """
+    words = F.explode(
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), _WS),
+                 lambda w: w != "")).alias("word")
+    per_word = (docs.select("doc_id", words)
+                .groupBy("doc_id", "word").count())
+    agg = (per_word.groupBy("doc_id")
+           .agg(F.sum("count").alias("n_words"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("count").alias("top_count")))
+    top_frac = F.col("top_count") / F.col("n_words")
+    distinct_ratio = F.col("n_distinct") / F.col("n_words")
+    return agg.select(
+        "doc_id", "n_words", "n_distinct",
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        ((top_frac <= max_top_word_frac)
+         & (distinct_ratio >= min_distinct_ratio)).alias("keep"))
+
+
 # Rabin-Karp polynomial rolling-hash parameters: modulus < 2^31 keeps
 # every intermediate (acc*B + c) under 2^39, safely inside int64 for
 # both Spark's ANSI arithmetic and DuckDB

@@ -1,0 +1,88 @@
+"""registrable_domain + repetition_stats (operators/text.py, r7):
+hand-case pins for the URL canonicalisation slice arithmetic and the
+Gopher/C4 repetition signals. The SQL-twin equivalence is gated by
+check_oracles (`domain_extract`, `gopher_repetition`).
+"""
+
+import pytest
+
+from pyrate_spark.operators.text import registrable_domain, repetition_stats
+
+
+def _extract(spark, urls):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    rows = registrable_domain(df).orderBy("doc_id").collect()
+    return [(r.host, r.registrable, r.is_subdomain) for r in rows]
+
+
+class TestRegistrableDomain:
+    def test_plain_two_label_host(self, spark):
+        assert _extract(spark, ["https://example.com/a/b"]) == [
+            ("example.com", "example.com", False)]
+
+    def test_subdomain_stripped(self, spark):
+        assert _extract(spark, ["https://www.blog.example.com/x"]) == [
+            ("www.blog.example.com", "example.com", True)]
+
+    def test_multi_label_public_suffix(self, spark):
+        assert _extract(spark, ["https://news.bbc.co.uk/sport"]) == [
+            ("news.bbc.co.uk", "bbc.co.uk", True)]
+
+    def test_bare_multi_label_suffix_host(self, spark):
+        # exactly registrable.suffix — nothing to strip
+        assert _extract(spark, ["http://bbc.co.uk"]) == [
+            ("bbc.co.uk", "bbc.co.uk", False)]
+
+    def test_port_userinfo_case_stripped(self, spark):
+        assert _extract(
+            spark, ["HTTPS://user:pw@WWW.Example.COM:8443/p?q=1#f"]) == [
+            ("www.example.com", "example.com", True)]
+
+    def test_single_label_host(self, spark):
+        assert _extract(spark, ["http://localhost:9000/health"]) == [
+            ("localhost", "localhost", False)]
+
+    def test_extra_suffix_pluggable(self, spark):
+        df = spark.createDataFrame(
+            [(0, "https://shop.foo.com.sg/")], "doc_id long, url string")
+        base = registrable_domain(df).first()
+        extended = registrable_domain(
+            df, extra_suffixes=("com.sg",)).first()
+        assert base.registrable == "com.sg"          # unknown suffix
+        assert extended.registrable == "foo.com.sg"  # plugged in
+
+
+class TestRepetitionStats:
+    def _stats(self, spark, text, **kw):
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rows = repetition_stats(df, **kw).collect()
+        return rows[0] if rows else None
+
+    def test_counts_and_ratios(self, spark):
+        # 6 tokens, 4 distinct, mode count 3
+        r = self._stats(spark, "a a a b  c d")
+        assert (r.n_words, r.n_distinct) == (6, 4)
+        assert r.top_word_frac == pytest.approx(0.5)
+        assert r.distinct_ratio == pytest.approx(round(4 / 6, 6))
+        assert not r.keep                          # 0.5 > 0.2 top-word
+
+    def test_diverse_doc_kept(self, spark):
+        r = self._stats(spark, "one two three four five six")
+        assert r.top_word_frac == pytest.approx(round(1 / 6, 6))
+        assert r.distinct_ratio == pytest.approx(1.0)
+        assert r.keep
+
+    def test_case_folded_before_counting(self, spark):
+        r = self._stats(spark, "The the THE x")
+        assert (r.n_words, r.n_distinct) == (4, 2)
+        assert r.top_word_frac == pytest.approx(0.75)
+
+    def test_empty_doc_drops_out(self, spark):
+        assert self._stats(spark, "   ") is None
+
+    def test_thresholds_parameterised(self, spark):
+        r = self._stats(spark, "a a b c d e f g h j",
+                        max_top_word_frac=0.2, min_distinct_ratio=0.95)
+        assert r.top_word_frac == pytest.approx(0.2)   # at the bound: kept
+        assert not r.keep                              # 0.9 < 0.95 distinct
