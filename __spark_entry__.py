@@ -952,6 +952,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.repetition_stats(_docs(spark, sf))
     q["gopher_repetition"] = q_gopher_repetition
 
+    def q_strip_boilerplate(spark, sf):
+        """CCNet-style cross-document span dedup (new r7): spans with
+        corpus document-frequency above 80% dropped, survivors
+        reassembled in order. Gate uses single-space delim (documents
+        carry no newlines) — words play the boilerplate lines; the
+        frac-threshold broadcast join path is the one exercised."""
+        return dd.strip_boilerplate(_docs(spark, sf), delim=" ",
+                                    max_df_frac=0.8)
+    q["strip_boilerplate"] = q_strip_boilerplate
+
     def q_corr_leadlag(spark, sf):
         """Cross-series lead-lag correlation (new r7): densest-12
         hourly series, Pearson r at lags -2..2 h, best |r| per pair
@@ -2252,7 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # r7 final additions (webtext canonicalisation + Gopher
             # repetition filters): tail — locally gated via
             # check_oracles at sf0.001 + sf0.01 this round
-            "domain_extract", "gopher_repetition"]
+            "domain_extract", "gopher_repetition", "strip_boilerplate"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -4014,6 +4024,28 @@ def oracle_sql() -> dict[str, str]:
                (CAST(top_count AS DOUBLE) / n_words <= 0.2
                 AND CAST(n_distinct AS DOUBLE) / n_words >= 0.3) AS keep
         FROM ag
+    """
+
+    o["strip_boilerplate"] = """
+        WITH s0 AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        s AS (
+          SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+                 unnest(w) AS span
+          FROM s0),
+        s2 AS (SELECT * FROM s WHERE span <> ''),
+        d AS (
+          SELECT span FROM (
+            SELECT span, count(DISTINCT doc_id) AS span_df
+            FROM s2 GROUP BY span)
+          WHERE span_df > greatest(CAST(floor(
+              0.8 * (SELECT count(*) FROM documents)) AS BIGINT), 1)),
+        k AS (SELECT * FROM s2
+              WHERE span NOT IN (SELECT span FROM d))
+        SELECT doc_id,
+               string_agg(span, ' ' ORDER BY pos) AS text_clean,
+               count(*) AS n_spans_kept
+        FROM k GROUP BY doc_id
     """
 
     o["knn_bruteforce"] = f"""

@@ -333,3 +333,57 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def strip_boilerplate(docs: DataFrame, text_col: str = "text",
+                      delim: str = "\n", max_df: int | None = None,
+                      max_df_frac: float = 0.5) -> DataFrame:
+    """CCNet-style cross-document span dedup: split every document on
+    ``delim``, count each distinct span's document frequency across the
+    corpus, drop spans appearing in more than ``max_df`` documents
+    (default: ``max_df_frac`` of the corpus), and reassemble the
+    surviving spans in original order. This removes the nav-bars /
+    cookie banners / footers that within-document filters
+    (``text.repetition_stats``) cannot see — the complement operator.
+
+    Scale shape: posexplode -> one (span) hash agg with map-side
+    combine for the DF counts (the same fine-grained key discipline as
+    jaccard's max_df cap) -> LEFT ANTI join of spans against the DROP
+    set — boilerplate sets are tiny relative to the corpus, so Spark
+    broadcasts the anti side under AQE -> one (doc_id) agg reassembling
+    via sort_array over (pos, span) structs. No window, no UDF, no
+    driver action (the frac threshold joins through a broadcast
+    single-row aggregate). Documents whose every span drops (or that
+    are empty after the empty-span normalisation) vanish from the
+    output — the pair-less-url convention.
+
+    ``delim`` is a literal separator (regex-escaped before Spark's
+    split); empty spans from consecutive delimiters are normalised
+    away, so reassembly canonicalises separator runs — documented, and
+    what a training pipeline wants anyway.
+    """
+    import re as _re
+
+    spans = (docs
+             .select("doc_id",
+                     F.posexplode(F.split(F.col(text_col),
+                                          _re.escape(delim)))
+                     .alias("pos", "span"))
+             .where(F.col("span") != ""))
+    span_df = spans.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("span_df"))
+    if max_df is not None:
+        drop = span_df.where(F.col("span_df") > max_df)
+    else:
+        n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        drop = (span_df.crossJoin(F.broadcast(n_docs))
+                .where(F.col("span_df") >
+                       F.greatest(F.floor(F.lit(max_df_frac)
+                                          * F.col("n_docs")), F.lit(1))))
+    kept = spans.join(drop.select("span"), "span", "left_anti")
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "span"))),
+        lambda s: s.span)
+    return (kept.groupBy("doc_id")
+            .agg(F.array_join(ordered, delim).alias("text_clean"),
+                 F.count(F.lit(1)).alias("n_spans_kept")))

@@ -86,3 +86,44 @@ class TestRepetitionStats:
                         max_top_word_frac=0.2, min_distinct_ratio=0.95)
         assert r.top_word_frac == pytest.approx(0.2)   # at the bound: kept
         assert not r.keep                              # 0.9 < 0.95 distinct
+
+
+class TestStripBoilerplate:
+    def _df(self, spark, rows):
+        from pyrate_spark.operators.dedup import strip_boilerplate
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = strip_boilerplate(df, delim="\n", max_df=2)
+        return {r.doc_id: (r.text_clean, r.n_spans_kept)
+                for r in out.collect()}
+
+    def test_high_df_span_dropped_order_kept(self, spark):
+        rows = [(0, "intro\ncookie banner\nbody zero"),
+                (1, "cookie banner\nbody one"),
+                (2, "body two\ncookie banner"),
+                (3, "cookie banner\nbody three\ncookie banner")]
+        out = self._df(spark, rows)
+        # 'cookie banner' df=4 > max_df=2 -> dropped everywhere
+        assert out[0] == ("intro\nbody zero", 2)
+        assert out[1] == ("body one", 1)
+        assert out[2] == ("body two", 1)
+        assert out[3] == ("body three", 1)
+
+    def test_all_boilerplate_doc_vanishes(self, spark):
+        rows = [(0, "nav"), (1, "nav"), (2, "nav"), (3, "nav\nreal")]
+        out = self._df(spark, rows)
+        assert set(out) == {3}
+        assert out[3] == ("real", 1)
+
+    def test_empty_spans_normalised(self, spark):
+        rows = [(0, "a\n\n\nb"), (1, "c")]
+        out = self._df(spark, rows)
+        assert out[0] == ("a\nb", 2)
+
+    def test_frac_threshold_path(self, spark):
+        from pyrate_spark.operators.dedup import strip_boilerplate
+        rows = [(i, f"common\nuniq{i}") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # floor(0.5 * 4) = 2 -> 'common' (df=4) drops, uniq stays
+        out = {r.doc_id: r.text_clean
+               for r in strip_boilerplate(df, max_df_frac=0.5).collect()}
+        assert out == {i: f"uniq{i}" for i in range(4)}
