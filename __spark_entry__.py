@@ -962,6 +962,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     max_df_frac=0.8)
     q["strip_boilerplate"] = q_strip_boilerplate
 
+    def q_decontaminate(spark, sf):
+        """Training-data decontamination gate (new r7): every 50th
+        document plays the benchmark corpus; documents sharing any
+        distinct 3-gram shingle with it are flagged with the shared
+        count. Broadcast equi-join on the shingle — the corpus side
+        never shuffles."""
+        d = _docs(spark, sf)
+        return dd.decontaminate(d, d.where(F.col("doc_id") % 50 == 0))
+    q["decontaminate"] = q_decontaminate
+
+    def q_pii_scrub(spark, sf):
+        """PII redaction gate (new r7): deterministic synthetic PII
+        (an email, a dotted-quad IP, a 10-digit account run derived
+        from doc_id) appended to every document — replayed identically
+        in the oracle — then pii_scrub's counts + scrubbed text
+        checked per row on full string equality."""
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        injected = F.concat(
+            F.col("text"),
+            F.lit(" mail u"), did.cast("string"),
+            F.lit("@ex"), (did % 3).cast("string"), F.lit(".org ip 10."),
+            (did % 256).cast("string"), F.lit(".0.1 acct 9"),
+            F.lpad(did.cast("string"), 9, "0"))
+        return tx.pii_scrub(
+            d.select("doc_id", injected.alias("text")))
+    q["pii_scrub"] = q_pii_scrub
+
     def q_corr_leadlag(spark, sf):
         """Cross-series lead-lag correlation (new r7): densest-12
         hourly series, Pearson r at lags -2..2 h, best |r| per pair
@@ -2262,7 +2290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # r7 final additions (webtext canonicalisation + Gopher
             # repetition filters): tail — locally gated via
             # check_oracles at sf0.001 + sf0.01 this round
-            "domain_extract", "gopher_repetition", "strip_boilerplate"]
+            "domain_extract", "gopher_repetition", "strip_boilerplate",
+            "decontaminate", "pii_scrub"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3846,6 +3875,48 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON c.doc_a = sa.doc_id
         JOIN sizes sb ON c.doc_b = sb.doc_id
         WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.5
+    """
+
+    # decontamination twin: same 3-gram shingle CTE, benchmark =
+    # every 50th doc, distinct-shared-shingle count per flagged doc
+    o["decontaminate"] = f"""
+        WITH {_shingle_src},
+        bsh AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 50 = 0)
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shared_shingles
+        FROM shd d JOIN bsh USING (shingle)
+        GROUP BY d.doc_id
+    """
+
+    # PII twin: identical injected construction, identical ASCII-class
+    # regexes; DuckDB needs the 'g' flag to replace all matches (Spark
+    # regexp_replace is global by default)
+    _pii_src = r"""
+        inj AS (
+          SELECT doc_id,
+                 text || ' mail u' || CAST(doc_id AS VARCHAR)
+                 || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.org ip 10.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.0.1 acct 9'
+                 || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS text
+          FROM documents)
+    """
+    _email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _ipv4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    _lnum = r"\b[0-9]{9,}\b"
+    o["pii_scrub"] = f"""
+        WITH {_pii_src}
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_email}')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(text, '{_ipv4}')) AS BIGINT)
+                   AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '{_lnum}')) AS BIGINT)
+                   AS n_longnum,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_email}', '<EMAIL>', 'g'),
+                   '{_ipv4}', '<IP>', 'g'),
+                   '{_lnum}', '<NUM>', 'g') AS text_scrubbed
+        FROM inj
     """
 
     # --- SimHash twin (md5 hash mode, 60-bit fp, hamming <= 3) ---

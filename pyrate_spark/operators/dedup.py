@@ -387,3 +387,34 @@ def strip_boilerplate(docs: DataFrame, text_col: str = "text",
     return (kept.groupBy("doc_id")
             .agg(F.array_join(ordered, delim).alias("text_clean"),
                  F.count(F.lit(1)).alias("n_spans_kept")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", shingle_n: int = 3,
+                  min_shared: int = 1) -> DataFrame:
+    """Training-data decontamination: flag documents sharing at least
+    ``min_shared`` distinct word-``shingle_n``-gram shingles with a
+    benchmark/eval corpus — the standard pre-training hygiene step
+    (exact n-gram overlap, the reproducible baseline the fuzzy
+    variants are judged against).
+
+    Scale shape: both sides shingle with the same `_shingles` column
+    algebra as MinHash; the benchmark's distinct shingle set is tiny
+    relative to the corpus, so the equi-join is explicitly broadcast —
+    the corpus side never shuffles. Per-doc shingles are
+    array_distinct'ed before exploding, so the post-join count IS the
+    distinct-shared-shingle count with no count_distinct pass. Clean
+    documents drop out (pair-less-url convention).
+    """
+    d_sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(text_col, shingle_n)))
+        .alias("shingle"))
+    b_sh = (benchmark
+            .select(F.explode(F.array_distinct(
+                _shingles(text_col, shingle_n))).alias("shingle"))
+            .distinct())
+    return (d_sh.join(F.broadcast(b_sh), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+            .where(F.col("n_shared_shingles") >= min_shared))

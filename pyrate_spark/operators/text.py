@@ -178,6 +178,34 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
          & (distinct_ratio >= min_distinct_ratio)).alias("keep"))
 
 
+# PII patterns (name, regex, replacement): ASCII-class-only so Java
+# regex (Spark) and RE2 (DuckDB) match identically; counts are taken
+# on the ORIGINAL text per pattern, replacements apply sequentially in
+# this order (an already-replaced placeholder is never re-scrubbed)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+    ("longnum", r"\b[0-9]{9,}\b", "<NUM>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: per-pattern match counts
+    plus the scrubbed text (emails, dotted-quad IPs, long digit runs —
+    account/phone-shaped — replaced by typed placeholders). One narrow
+    shuffle-free projection of regexp_count/regexp_replace chains;
+    patterns are a documented, auditable tuple, not a model."""
+    counts = [F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+              .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+    scrubbed = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select("doc_id", *counts,
+                       scrubbed.alias("text_scrubbed"))
+
+
 # Rabin-Karp polynomial rolling-hash parameters: modulus < 2^31 keeps
 # every intermediate (acc*B + c) under 2^39, safely inside int64 for
 # both Spark's ANSI arithmetic and DuckDB

@@ -127,3 +127,63 @@ class TestStripBoilerplate:
         out = {r.doc_id: r.text_clean
                for r in strip_boilerplate(df, max_df_frac=0.5).collect()}
         assert out == {i: f"uniq{i}" for i in range(4)}
+
+
+class TestDecontaminate:
+    def test_ngram_overlap_flags(self, spark):
+        from pyrate_spark.operators.dedup import decontaminate
+        docs = spark.createDataFrame(
+            [(0, "the quick brown fox jumps high"),
+             (1, "a totally different sentence here now"),
+             (2, "quick brown fox appears again today")],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, "lazy dogs watch the quick brown fox sleep")],
+            "doc_id long, text string")
+        out = {r.doc_id: r.n_shared_shingles
+               for r in decontaminate(docs, bench).collect()}
+        # doc 0 shares 'the quick brown' + 'quick brown fox';
+        # doc 2 shares 'quick brown fox'; doc 1 is clean (drops out)
+        assert out == {0: 2, 2: 1}
+
+    def test_min_shared_threshold(self, spark):
+        from pyrate_spark.operators.dedup import decontaminate
+        docs = spark.createDataFrame(
+            [(0, "the quick brown fox jumps high"),
+             (2, "quick brown fox appears again today")],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, "lazy dogs watch the quick brown fox sleep")],
+            "doc_id long, text string")
+        out = decontaminate(docs, bench, min_shared=2).collect()
+        assert [(r.doc_id, r.n_shared_shingles) for r in out] == [(0, 2)]
+
+
+class TestPiiScrub:
+    def _scrub(self, spark, text):
+        from pyrate_spark.operators.text import pii_scrub
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return pii_scrub(df).first()
+
+    def test_email_ip_number_all_scrubbed(self, spark):
+        r = self._scrub(spark,
+                        "mail bob.smith+x@corp.example.org from "
+                        "192.168.0.17 acct 1234567890 ok")
+        assert (r.n_email, r.n_ipv4, r.n_longnum) == (1, 1, 1)
+        assert r.text_scrubbed == ("mail <EMAIL> from <IP> acct "
+                                   "<NUM> ok")
+
+    def test_clean_text_untouched(self, spark):
+        r = self._scrub(spark, "no sensitive content at all")
+        assert (r.n_email, r.n_ipv4, r.n_longnum) == (0, 0, 0)
+        assert r.text_scrubbed == "no sensitive content at all"
+
+    def test_short_number_kept(self, spark):
+        r = self._scrub(spark, "call 12345678 today")   # 8 digits < 9
+        assert r.n_longnum == 0
+        assert "12345678" in r.text_scrubbed
+
+    def test_multiple_matches_counted(self, spark):
+        r = self._scrub(spark, "a@b.co c@d.io and 10.0.0.1 10.0.0.2")
+        assert (r.n_email, r.n_ipv4) == (2, 2)
+        assert r.text_scrubbed == "<EMAIL> <EMAIL> and <IP> <IP>"
