@@ -514,8 +514,14 @@ def test_streaming_sessionize_state_across_microbatches(spark, tmp_path):
     flush = [("__flush__", BASE + dt.timedelta(days=30), None)]
 
     def run(rows):
-        spark.createDataFrame(rows, ddl).write.mode("append") \
-            .parquet(src)
+        # ONE part file per pass: with multiple part files,
+        # maxFilesPerTrigger=1 orders micro-batches by file modTime
+        # (nondeterministic under load), and a later-processed
+        # earlier-timestamped file lands behind the 0-second watermark
+        # and splits the session — the exact multi-batch hazard the
+        # streaming module documents. Each pass IS the micro-batch.
+        spark.createDataFrame(rows, ddl).coalesce(1).write \
+            .mode("append").parquet(src)
         stream = (spark.readStream.schema(ddl)
                   .option("maxFilesPerTrigger", "1").parquet(src))
         q = (streaming_sessionize(stream, "30 minutes",
