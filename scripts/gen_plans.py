@@ -327,6 +327,49 @@ add("Column profiler (r7, single-pass approx)",
     "only path.",
     profile_columns(series, cols=["url", "value"]))
 
+docs = spark.createDataFrame(
+    [(i, "alpha beta gamma alpha delta") for i in range(50)],
+    "doc_id long, text string")
+
+from pyrate_spark.operators.text import (pii_scrub, registrable_domain,
+                                         repetition_stats)
+add("Registrable-domain canonicalisation (r7)",
+    "No Exchange at all: host + registrable-domain extraction is "
+    "regex/array column algebra fused into the scan — grouping by the "
+    "result is the caller's shuffle, on a fine-grained skew-diluting "
+    "key.",
+    registrable_domain(
+        docs.select("doc_id",
+                    F.lit("https://www.ex.co.uk/p").alias("url"))))
+
+add("Gopher repetition filter (r7)",
+    "Explode then TWO partial+final hash aggregates — (doc_id, word) "
+    "with map-side combine (the shuffle carries distinct pairs, not "
+    "raw tokens), then the tiny per-doc rollup. Deliberately NOT the "
+    "O(distinct x len) per-row lambda mode; no window, no Python.",
+    repetition_stats(docs))
+
+add("PII scrubbing (r7)",
+    "No Exchange: regexp_count/regexp_replace chains in one narrow "
+    "projection — redacting 100 TB costs only the scan.",
+    pii_scrub(docs))
+
+from pyrate_spark.operators.dedup import decontaminate, strip_boilerplate
+add("Cross-document boilerplate removal (r7, CCNet-style)",
+    "posexplode -> one (span) hash agg for corpus document frequency "
+    "-> LEFT ANTI join of spans against the small high-DF drop set "
+    "(broadcastable under AQE; the frac threshold flows through a "
+    "broadcast single-row aggregate, no driver action) -> one "
+    "(doc_id) agg reassembling via sort_array. No window, no UDF.",
+    strip_boilerplate(docs, delim=" ", max_df_frac=0.5))
+
+add("Benchmark decontamination (r7)",
+    "The benchmark's distinct shingle set builds a BroadcastHashJoin — "
+    "the corpus side NEVER shuffles for the join; shingles are "
+    "pre-distinct'ed per doc so the one (doc_id) hash agg counts "
+    "distinct shared shingles with no count_distinct Expand.",
+    decontaminate(docs, docs.where(F.col("doc_id") % 10 == 0)))
+
 out = ["# PLANS — physical-plan audit of the core operators",
        "",
        "Generated by scripts/gen_plans.py (`df.explain('formatted')` on",
