@@ -1126,6 +1126,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.col("cnt").cast("long").alias("cnt")))
     q["histogram_tier_cascade"] = q_histogram_tier_cascade
 
+    def q_histogram_quantile_tier(spark, sf):
+        """Quantile estimate FROM the cascaded daily histogram tier
+        (r7, rollup.histogram_quantile_est — the Prometheus
+        histogram_quantile recipe): p95 interpolated inside the first
+        bin whose running count reaches ceil(0.95 * n_in), clamped to
+        the domain. The one histogram-family function previously gated
+        by pytest only; the oracle replays the crossing-bin search and
+        the interpolation in the SAME operand order (round-6 both
+        sides)."""
+        from pyrate_spark.operators.rollup import (histogram_quantile_est,
+                                                   histogram_rollup,
+                                                   histogram_cascade)
+        d = histogram_cascade(
+            histogram_rollup(_events(spark, sf), "1 hour",
+                             lo=0.0, hi=256.0, n_bins=16),
+            "1 day", n_bins=16)
+        est = histogram_quantile_est(d, 0.95, lo=0.0, hi=256.0,
+                                     n_bins=16)
+        return est.select("url", _u("bucket_start").alias("bucket_unix"),
+                          F.round("q_est", 6).alias("q_est"),
+                          "n_in_range")
+    q["histogram_quantile_tier"] = q_histogram_quantile_tier
+
     def q_knn_bruteforce(spark, sf):
         out = sim.cosine_topk(_emb(spark, sf), QUERY_IDS, k=5)
         return out.select(F.col("query_id").cast("long").alias("query_id"),
@@ -2291,7 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # repetition filters): tail — locally gated via
             # check_oracles at sf0.001 + sf0.01 this round
             "domain_extract", "gopher_repetition", "strip_boilerplate",
-            "decontaminate", "pii_scrub"]
+            "decontaminate", "pii_scrub", "histogram_quantile_tier"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3763,6 +3786,39 @@ def oracle_sql() -> dict[str, str]:
     o["histogram_tier_hourly"] = _hist_sql(3600)
     # direct daily oracle proves the cascade exact (OHLC pattern)
     o["histogram_tier_cascade"] = _hist_sql(86400)
+
+    # quantile-from-tier twin: the exploded (bin, cnt) rows make the
+    # crossing-bin search a window cumsum; zero-count bins are absent
+    # from the rows but can never BE the crossing bin (cum must
+    # increase to cross the rank), so min-bin-with-cum>=rank equals
+    # Spark's array_position, and cum - cnt is its cum_before.
+    # Interpolation replays Spark's operand order exactly (round-6).
+    o["histogram_quantile_tier"] = f"""
+        WITH hb AS (SELECT * FROM ({_hist_sql(86400)})),
+        inr AS (
+          SELECT url, bucket_unix, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY url, bucket_unix
+                                ORDER BY bin) AS cum
+          FROM hb WHERE bin BETWEEN 1 AND 16),
+        rk AS (
+          SELECT url, bucket_unix, sum(cnt) AS n_in,
+                 CAST(ceil(0.95 * sum(cnt)) AS BIGINT) AS rnk
+          FROM inr GROUP BY 1, 2 HAVING sum(cnt) > 0),
+        x AS (
+          SELECT i.url, i.bucket_unix, i.bin, i.cnt, i.cum,
+                 r.rnk, r.n_in,
+                 row_number() OVER (PARTITION BY i.url, i.bucket_unix
+                                    ORDER BY i.bin) AS rn
+          FROM inr i JOIN rk r USING (url, bucket_unix)
+          WHERE i.cum >= r.rnk)
+        SELECT url, bucket_unix,
+               round(least(greatest(
+                   0.0 + (bin - 1) * 16.0
+                   + 16.0 * (rnk - (cum - cnt)) / cnt, 0.0), 256.0), 6)
+                   AS q_est,
+               CAST(n_in AS BIGINT) AS n_in_range
+        FROM x WHERE rn = 1
+    """
 
     o["corr_leadlag"] = f"""
         WITH h AS ({_HOURLY_SQL}),
