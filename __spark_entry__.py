@@ -1149,6 +1149,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "n_in_range")
     q["histogram_quantile_tier"] = q_histogram_quantile_tier
 
+    def q_distinct_tier_daily(spark, sf):
+        """Mergeable distinct-count tier (r7, rollup.distinct_tier +
+        distinct_cascade — Spark-native Datasketches HLL): hourly
+        sketches UNIONED to daily, estimate checked against the exact
+        per-day COUNT(DISTINCT) oracle. Valid because every (url, day)
+        group at test scale stays in the sketch's exact coupon mode
+        (max 11 distinct values at sf0.1 vs a few-hundred threshold at
+        lg_k=12) — so a green row proves BOTH the sketch path and its
+        mergeability; the at-scale estimate contract is documented on
+        the operator."""
+        from pyrate_spark.operators.rollup import (distinct_cascade,
+                                                   distinct_tier)
+        d = distinct_cascade(
+            distinct_tier(_events(spark, sf), "1 hour"), "1 day")
+        return d.select("url", _u("bucket_start").alias("bucket_unix"),
+                        "n_distinct_est")
+    q["distinct_tier_daily"] = q_distinct_tier_daily
+
     def q_knn_bruteforce(spark, sf):
         out = sim.cosine_topk(_emb(spark, sf), QUERY_IDS, k=5)
         return out.select(F.col("query_id").cast("long").alias("query_id"),
@@ -2314,7 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # repetition filters): tail — locally gated via
             # check_oracles at sf0.001 + sf0.01 this round
             "domain_extract", "gopher_repetition", "strip_boilerplate",
-            "decontaminate", "pii_scrub", "histogram_quantile_tier"]
+            "decontaminate", "pii_scrub", "histogram_quantile_tier",
+            "distinct_tier_daily"]
     ordered = {k: v for k, v in q.items() if k not in tail}
     ordered.update({k: q[k] for k in tail if k in q})
     assert len(ordered) == len(q)
@@ -3818,6 +3837,20 @@ def oracle_sql() -> dict[str, str]:
                    AS q_est,
                CAST(n_in AS BIGINT) AS n_in_range
         FROM x WHERE rn = 1
+    """
+
+    # distinct-tier twin: the exact COUNT(DISTINCT) — valid because
+    # test-scale groups stay in the HLL sketch's exact coupon mode
+    o["distinct_tier_daily"] = f"""
+        WITH s AS (
+          SELECT url,
+                 CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT)
+                     AS tu,
+                 value
+          FROM ({ev}) WHERE value IS NOT NULL)
+        SELECT url, tu // 86400 * 86400 AS bucket_unix,
+               CAST(count(DISTINCT value) AS BIGINT) AS n_distinct_est
+        FROM s GROUP BY 1, 2
     """
 
     o["corr_leadlag"] = f"""

@@ -378,6 +378,56 @@ def histogram_quantile_est(hist_df: DataFrame, q: float,
                     F.col("_n_in").alias("n_in_range")))
 
 
+def distinct_tier(series: DataFrame, tier: str = "1 hour",
+                  value_col: str = "value", ts_col: str = "warc_ts",
+                  lg_k: int = 12) -> DataFrame:
+    """Mergeable distinct-count tier (TimescaleDB approx_count_distinct
+    rollup / Druid HLL metric): per (url, bucket) a Datasketches HLL
+    sketch of the distinct non-NULL values plus its estimate — Spark's
+    native hll_sketch_agg, one hash aggregation, JVM-side.
+
+    Unlike approx_count_distinct (which emits only a number), the
+    SKETCH column is the tier payload, so ``distinct_cascade`` unions
+    coarse tiers from fine ones without rescanning raw — the exact
+    property that makes distinct counts a continuous-aggregate family
+    member rather than a terminal metric. Datasketches HLL is EXACT
+    while a group stays in coupon (list/set) mode — a few hundred
+    distinct values at the default lg_k=12, which is what the oracle
+    gate relies on at test scale; beyond it the estimate carries the
+    library's published ~1.6% relative error (documented contract, the
+    histogram-tier trade-off pattern). All-NULL buckets drop out.
+
+    hll_sketch_agg accepts int/bigint/string/binary only, so the
+    column is sketched by its canonical STRING form — injective for
+    Spark's shortest-roundtrip double rendering, so distinct strings
+    == distinct values and the exact-mode gate stays valid.
+    """
+    win = F.window(ts_col, tier)
+    return (series.where(F.col(value_col).isNotNull())
+            .groupBy("url", win.alias("w"))
+            .agg(F.hll_sketch_agg(F.col(value_col).cast("string"),
+                                  F.lit(lg_k)).alias("sketch"))
+            .select("url", F.col("w.start").alias("bucket_start"),
+                    "sketch",
+                    F.hll_sketch_estimate("sketch")
+                    .alias("n_distinct_est")))
+
+
+def distinct_cascade(tier_df: DataFrame, tier: str) -> DataFrame:
+    """Distinct-count tier N-1 -> tier N by sketch UNION (hll_union_agg)
+    — never rescans raw; exact equality with the direct coarse tier
+    while groups stay in the sketch's exact mode (gate-pinned), the
+    standard mergeable-sketch bound beyond it."""
+    win = F.window("bucket_start", tier)
+    return (tier_df
+            .groupBy("url", win.alias("w"))
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+            .select("url", F.col("w.start").alias("bucket_start"),
+                    "sketch",
+                    F.hll_sketch_estimate("sketch")
+                    .alias("n_distinct_est")))
+
+
 def cumulative(tier_df: DataFrame, value_col: str = "value_avg") -> DataFrame:
     """A6: running total per url ordered by bucket — the tscuml analog
     (timeseries.py:152-153) as the canonical cumsum window."""

@@ -337,3 +337,65 @@ def test_histogram_quantile_est_vs_manual(spark):
     assert abs(r["q_est"] - 3.5) <= 2.0
     with pytest.raises(ValueError):
         histogram_quantile_est(hist, 0.0)
+
+
+class TestDistinctTier:
+    def test_cascade_equals_direct_in_exact_mode(self, spark):
+        """Hourly sketches unioned to daily == the direct daily sketch
+        while groups stay in HLL coupon mode (small cardinality)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from pyrate_spark.operators.rollup import (distinct_cascade,
+                                                   distinct_tier)
+        base = dt.datetime(2024, 1, 1)
+        rows = [("u", base + dt.timedelta(hours=h, minutes=m),
+                 float((h * 7 + m) % 40))
+                for h in range(30) for m in (0, 20, 40)]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, value double")
+        merged = distinct_cascade(distinct_tier(df, "1 hour"), "1 day")
+        direct = distinct_tier(df, "1 day")
+        m = {(r.url, r.bucket_start): r.n_distinct_est
+             for r in merged.collect()}
+        d = {(r.url, r.bucket_start): r.n_distinct_est
+             for r in direct.collect()}
+        assert m == d
+        exact = {(r.url, r.bucket_start): r.c
+                 for r in df.groupBy(
+                     "url",
+                     F.window("warc_ts", "1 day")["start"]
+                     .alias("bucket_start"))
+                 .agg(F.count_distinct("value").alias("c")).collect()}
+        assert m == exact                      # coupon mode == exact
+
+    def test_estimate_contract_at_large_cardinality(self, spark):
+        """Past coupon mode the sketch ESTIMATES — within the
+        documented ~2% band, not exact (the trade-off the operator
+        docstring names)."""
+        from pyspark.sql import functions as F
+
+        from pyrate_spark.operators.rollup import distinct_tier
+        df = spark.range(20000).select(
+            F.lit("u").alias("url"),
+            F.lit("2024-01-01 00:30:00").cast("timestamp")
+            .alias("warc_ts"),
+            F.col("id").cast("double").alias("value"))
+        est = distinct_tier(df, "1 hour").first().n_distinct_est
+        assert abs(est - 20000) / 20000 < 0.05
+
+    def test_null_values_skipped(self, spark):
+        from pyspark.sql import functions as F
+
+        from pyrate_spark.operators.rollup import distinct_tier
+        df = spark.createDataFrame(
+            [("u", "2024-01-01 00:00:00", 1.0),
+             ("u", "2024-01-01 00:10:00", None),
+             ("u", "2024-01-01 00:20:00", 1.0),
+             ("v", "2024-01-01 00:00:00", None)],
+            "url string, warc_ts string, value double") \
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        out = {r.url: r.n_distinct_est
+               for r in distinct_tier(df, "1 hour").collect()}
+        assert out == {"u": 1}                 # v all-NULL -> dropped
