@@ -358,7 +358,9 @@ def main():
 
     # ---- mergeable distribution aggregates (new r7 stage) ----
     if _want("mergeable_aggs"):
-        from pyrate_spark.operators.rollup import (histogram_cascade,
+        from pyrate_spark.operators.rollup import (distinct_cascade,
+                                                   distinct_tier,
+                                                   histogram_cascade,
                                                    histogram_rollup,
                                                    ohlc_cascade,
                                                    ohlc_rollup)
@@ -373,12 +375,15 @@ def main():
             n += hh.count() + histogram_cascade(hh, "1 day",
                                                 n_bins=16).count()
             hh.unpersist()
+            dh = distinct_tier(series, "1 hour").persist()
+            n += dh.count() + distinct_cascade(dh, "1 day").count()
+            dh.unpersist()
             return n
 
         timed("mergeable_aggs", mergeable)
-        # two raw scans (OHLC + histogram); cascades read tiers
+        # three raw scans (OHLC + histogram + HLL); cascades read tiers
         meta["mergeable_rows_per_sec"] = round(
-            2 * n_raw / max(timings["mergeable_aggs"], 1e-9))
+            3 * n_raw / max(timings["mergeable_aggs"], 1e-9))
 
     # ---- cross-series lead-lag correlation (new r7 stage) ----
     if _want("correlation"):
