@@ -222,3 +222,20 @@ def test_mergeable_aggs_single_exchange(spark):
     assert exchange_count(ohlc_cascade(oh.localCheckpoint(), "1 day")) == 1
     assert exchange_count(histogram_cascade(hh.localCheckpoint(), "1 day",
                                             n_bins=4)) == 1
+
+
+def test_distinct_tier_single_exchange(spark):
+    """The HLL distinct tier is one ObjectHashAggregate pass: one
+    Exchange from raw with map-side partial sketches, no window, no
+    Python; the union cascade likewise shuffles once from the tier."""
+    from pyrate_spark.operators.rollup import (distinct_cascade,
+                                               distinct_tier)
+    s = extract_series(generate_pages(spark, n_urls=20, epochs_per_url=10,
+                                      seed=4))
+    dh = distinct_tier(s, "1 hour")
+    assert exchange_count(dh) == 1
+    plan = dh._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Python" not in plan
+    assert "partial" in plan.lower()
+    assert exchange_count(distinct_cascade(dh.localCheckpoint(),
+                                           "1 day")) == 1
