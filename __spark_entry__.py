@@ -104,6 +104,27 @@ def _nn(col):
     return F.when(F.isnan(c), None).otherwise(c)
 
 
+def _duck_round5(col):
+    """DuckDB's round(x, 5) on DOUBLE, replicated bit-for-bit:
+    std::round(x * 1e5) / 1e5 — half away from zero, and the SIGN of a
+    zero result follows the sign of x (round(-1e-9, 5) is -0.0, not
+    +0.0). Spark's F.round goes through BigDecimal HALF_UP, which
+    both drops the negative zero and rounds the exact decimal
+    expansion rather than the x*1e5 product, so its output can differ
+    from the DuckDB oracle's in the value hash even when every value
+    compares == (the r7 closure_sums_tri/closure_classmap reds:
+    1,365 rows of -0.0 vs +0.0 at sf0.01). Verified bit-identical to
+    DuckDB over 600k samples including exact half-boundaries."""
+    c = F.col(col) if isinstance(col, str) else col
+    y = c * F.lit(100000.0)
+    mag = F.floor(F.abs(y) + F.lit(0.5)).cast("double") / F.lit(100000.0)
+    # sign test must see the sign BIT, not the comparison sign: an input
+    # of exactly -0.0 fails `c < 0`, but its string form keeps the minus
+    # (ANSI mode forbids the 1.0/x -> -Infinity probe)
+    neg = (c < 0) | ((c == 0) & c.cast("string").startswith("-"))
+    return F.when(neg, -mag).otherwise(mag)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -558,7 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "loop_key",
             F.col("n_edges").cast("long").alias("n_edges"),
             "loop_weight",
-            F.round("closure", 5).alias("closure"))
+            _duck_round5("closure").alias("closure"))
     q["closure_sums_tri"] = q_closure_sums_tri
 
     def q_closure_classmap(spark, sf):
@@ -579,7 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            max_loop_redundancy=10 ** 6, salt_buckets=16)
         bound = 10.0 * math.pi
         s = closure_sums(p, cfg).withColumn(
-            "closure", F.round("closure", 5))
+            "closure", _duck_round5("closure"))
         return s.select(
             "url", "loop_key", "closure",
             class_index_col("closure", -bound, bound).alias("cls"))

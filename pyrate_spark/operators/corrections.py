@@ -546,16 +546,23 @@ def closure_sums(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     deterministic a->b->c->a (ascending node index), so the closure of
     a triangle a<b<c is exactly d(a,b) + d(b,c) - d(a,c) and the whole
     table is verifiable by a 3-way SQL self-join (driver oracle
-    `closure_sums_tri`)."""
+    `closure_sums_tri`).
+
+    IEEE summation order is part of that replay contract (r8): the
+    closure is folded as (sum of +edges in sorted-edge order) - (sum of
+    -edges) — for a triangle exactly ``(d(a,b) + d(b,c)) - d(a,c)``,
+    the oracle's ``p1.dv + p2.dv - p3.dv`` association — so the double
+    is bit-identical to the SQL's, not merely within an ulp (the
+    sorted-edge signed fold ``(ab - ac) + bc`` can differ in the last
+    ulp and flip both a 5-dp rounding boundary and the SIGN of a tiny
+    residual, which the signed-zero-preserving gate round exposes)."""
     import pandas as pd
     import numpy as np
     from pyrate_spark.operators.grouped import _bucketed
     from pyrate_spark.kernels.closure import (closed_loops,
-                                              discard_loops_containing_max_ifg_count,
-                                              sum_closure)
+                                              discard_loops_containing_max_ifg_count)
     max_len = cfg.max_loop_length
     max_red = cfg.max_loop_redundancy
-    thr = cfg.closure_thr
 
     schema = ("url string, loop_key string, n_edges int, "
               "loop_weight double, closure double")
@@ -579,12 +586,16 @@ def closure_sums(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
             pair_pos = {}
             for j, (a, b) in enumerate(zip(fs, ss)):
                 pair_pos.setdefault((a, b), j)
-            values = {(a, b): vals[idx[pair_pos[(a, b)]]]
-                      for (a, b) in pair_pos}
             for loop in loops:
-                closure, _breach = sum_closure(loop, values,
-                                               subtract_median=False,
-                                               thr=thr)
+                pos = 0.0
+                neg = 0.0
+                for e in loop.edges:
+                    v = float(vals[idx[pair_pos[(e.first, e.second)]]])
+                    if e.sign >= 0:
+                        pos += v
+                    else:
+                        neg += v
+                closure = pos - neg
                 nodes = sorted({e.first for e in loop.edges}
                                | {e.second for e in loop.edges})
                 key = "|".join(str(int(n)) for n in nodes)

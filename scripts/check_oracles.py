@@ -73,12 +73,21 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
                 bad = (gv != ev)
             else:
                 bad = ~((gv == ev) | (pd.isna(gv) & pd.isna(ev)))
+                if np.issubdtype(gv.dtype, np.floating) and \
+                        np.issubdtype(ev.dtype, np.floating):
+                    # -0.0 == +0.0 compares True but value-hashes
+                    # differently at the driver (the r7
+                    # closure_sums_tri/closure_classmap reds shipped
+                    # because this check was sign-blind)
+                    bad |= ((gv == 0) & (ev == 0)
+                            & (np.signbit(gv) != np.signbit(ev)))
             nbad = int(np.sum(bad))
             if nbad:
                 i = int(np.flatnonzero(bad)[0])
                 problems.append(
                     f"col {c}: {nbad} mismatches, first at row {i}: "
-                    f"{gv[i]!r} vs {ev[i]!r}")
+                    f"{gv[i]!r} vs {ev[i]!r} "
+                    + ("(signed-zero)" if gv[i] == ev[i] else ""))
     return problems
 
 
