@@ -104,13 +104,16 @@ def _pivot_from_gram(S: np.ndarray) -> np.ndarray:
 
 def _pivot_chunk_size(n: int, budget_bytes: int = 2_000_000) -> int:
     """Matrices per batched sweep: sized so the chunk's working set
-    stays ~L2-resident. Small tier-shaped matrices (n ~ 47) batch 16
-    wide (amortises the python per-iteration overhead ~10x); large
-    epoch-rich matrices (n ~ 383, 1.2 MB each) already fill the cache
-    alone — batching them streams memory and LOSES (measured 28%
+    stays cache-resident. Small tier-shaped matrices (n ~ 47, 18 KB)
+    batch ~113 wide under the 2 MB budget (r8: the old cap of 16 left
+    the python per-iteration overhead under-amortised — raising it to
+    the budget limit measured 1.44x on a 400-matrix bench-shaped
+    stack, results bit-identical since chunking is pure slicing);
+    large epoch-rich matrices (n ~ 383, 1.2 MB each) already fill the
+    cache alone — batching them streams memory and LOSES (measured 28%
     single-threaded, worse under 32 concurrent workers), so the chunk
     collapses to 1 and the scalar loop runs instead."""
-    return max(1, min(16, budget_bytes // (n * n * 8)))
+    return max(1, min(128, budget_bytes // (n * n * 8)))
 
 
 def gram_pivot_order_batched(grams: np.ndarray) -> np.ndarray:
@@ -205,6 +208,69 @@ def linregress(t: np.ndarray, y: np.ndarray):
     else:
         stderr = 0.0
     return slope, intercept, r, stderr
+
+
+def linregress_segments(t: np.ndarray, y: np.ndarray,
+                        starts: np.ndarray):
+    """Vectorised NaN-aware linregress over CONCATENATED per-key
+    segments — the composition-invariant form of
+    :func:`linregress_batch`.
+
+    ``t``, ``y``: 1-D concatenations of every key's (time, value)
+    series; ``starts``: segment start offsets (len = nkeys, starts[0]
+    == 0). NaNs in y are excluded per segment; segments with < 2 valid
+    points return NaNs.
+
+    Why not the padded-matrix form: ``np.sum`` over a padded (nkeys,
+    width) matrix uses pairwise summation whose reduction tree depends
+    on ``width`` = the longest series IN THE FRAME, so a key's result
+    could change by an ulp when its frame-mates change (bucket
+    composition was fixed by the url hash, but the r8 shuffle-free
+    mapInPandas path batches by PARTITION, and partition composition
+    varies with cluster size). ``np.add.reduceat`` sums each segment
+    sequentially in its own row order — a pure per-key function, so
+    results are identical across partitionings, parallelism, and
+    execution paths (O4 determinism).
+
+    Returns (slope, intercept, rsquared, stderr, nsamp) each (nkeys,).
+    """
+    t = np.asarray(t, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    starts = np.asarray(starts, dtype=np.intp)
+    mask = ~np.isnan(y)
+    tm_ = np.where(mask, t, 0.0)
+    ym_ = np.where(mask, y, 0.0)
+    n = np.add.reduceat(mask.astype(np.float64), starts)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        tmean = np.add.reduceat(tm_, starts) / n
+        ymean = np.add.reduceat(ym_, starts) / n
+        # broadcast the per-segment means back to element positions
+        seg_id = np.zeros(len(t), dtype=np.intp)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        dt = np.where(mask, t - tmean[seg_id], 0.0)
+        dy = np.where(mask, y - ymean[seg_id], 0.0)
+        ssxm = np.add.reduceat(dt * dt, starts) / n
+        ssym = np.add.reduceat(dy * dy, starts) / n
+        ssxym = np.add.reduceat(dt * dy, starts) / n
+        slope = ssxym / ssxm
+        intercept = ymean - slope * tmean
+        denom = np.sqrt(ssxm * ssym)
+        r = np.where(denom > 0,
+                     ssxym / np.where(denom > 0, denom, 1.0), 0.0)
+        r = np.clip(r, -1.0, 1.0)
+        df = n - 2
+        stderr = np.where(
+            df > 0,
+            np.sqrt((1.0 - r * r) * ssym / ssxm / np.maximum(df, 1)),
+            0.0)
+    bad = n < 2
+    out = [slope, intercept, r * r, stderr]
+    for arr in out:
+        arr[bad] = np.nan
+    nsamp = n.copy()
+    nsamp[bad] = np.nan
+    return out[0], out[1], out[2], out[3], nsamp
 
 
 def linregress_batch(T: np.ndarray, Y: np.ndarray):

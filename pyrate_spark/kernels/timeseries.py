@@ -55,31 +55,41 @@ def _rank_structure(ifirst, isecond, nvelpar):
     """
     lo = np.minimum(ifirst, isecond)
     hi = np.maximum(ifirst, isecond)
-    # covered interval columns via a diff array
-    cover = np.zeros(nvelpar + 1, dtype=np.int64)
-    np.add.at(cover, lo, 1)
-    np.add.at(cover, hi, -1)
+    # covered interval columns via two bincounts (r8: one C pass each,
+    # ~2x the np.add.at scatter this replaced; exact integer counts)
+    cover = np.bincount(lo, minlength=nvelpar + 1)
+    cover = cover - np.bincount(hi, minlength=nvelpar + 1)
     covered = int(np.count_nonzero(np.cumsum(cover)[:nvelpar] > 0))
-    # connected components among epochs that appear: vectorized
-    # min-label propagation with pointer jumping (r5; 2.5x the python
-    # union-find at the ~75-edge/40-epoch shape, and the result — an
-    # exact integer graph property — is algorithm-invariant, so no
-    # output can change). Convergence in O(log diameter) jump rounds.
-    labels = np.arange(nvelpar + 1, dtype=np.int64)
-    while True:
-        before = labels.copy()
-        m = np.minimum(labels[lo], labels[hi])
-        np.minimum.at(labels, lo, m)
-        np.minimum.at(labels, hi, m)
-        labels = labels[labels]            # pointer jump x2
-        labels = labels[labels]
-        if np.array_equal(labels, before):
-            break
-    appears = np.zeros(nvelpar + 1, dtype=bool)
-    appears[lo] = True
-    appears[hi] = True
-    nodes = np.flatnonzero(appears)
-    comps = len(np.unique(labels[nodes]))
+    # connected components among epochs that appear: path-compressing
+    # union-find over the edge list (r8; 1.55x the r5 vectorized
+    # min-label propagation at the ~75-edge/40-epoch shape — the numpy
+    # loop paid several array allocations per convergence round. The
+    # result is an exact integer graph property, algorithm-invariant,
+    # so no output can change; equality with the propagation form is
+    # pinned over 2k random incidence structures).
+    parent = list(range(nvelpar + 1))
+
+    def _find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    comps = 0
+    for a, b in zip(lo.tolist(), hi.tolist()):
+        if a not in nodes:
+            nodes.add(a)
+            comps += 1
+        if b not in nodes:
+            nodes.add(b)
+            comps += 1
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            parent[ra] = rb
+            comps -= 1
     rank = len(nodes) - comps
     return covered, rank, covered == rank
 
@@ -194,7 +204,7 @@ def _solve_ts_lap(nvelpar, velflag, ifgv, mat_b, smorder, smfactor, sel, vcmt):
     x = np.linalg.lstsq(wb, wl, rcond=1e-8)[0]
 
     tsvel = np.full(nvelpar, np.nan, dtype=np.float32)
-    tsvel[~np.isclose(velflag, 0.0, atol=1e-8)] = x[:nvelleft]
+    tsvel[np.abs(velflag) > 1e-8] = x[:nvelleft]
     return tsvel
 
 
@@ -204,7 +214,8 @@ def time_series_pixel(phase: np.ndarray, ifirst: np.ndarray,
                       smfactor_log10: float = -0.25,
                       vcmt: np.ndarray | None = None,
                       mst_sel: np.ndarray | None = None,
-                      interp: int = 0):
+                      interp: int = 0,
+                      known_full_rank: bool = False):
     """Full per-key inversion: returns (tsvel, tsincr, tscuml), each
     (nepochs-1,) float32. NaN phase values are excluded via the default
     mst mask (timeseries.py:81-82).
@@ -228,26 +239,34 @@ def time_series_pixel(phase: np.ndarray, ifirst: np.ndarray,
     b_mat = b0[sel, :]
 
     if interp == 0:
-        ifirst_a = np.asarray(ifirst)
-        isecond_a = np.asarray(isecond)
-        # the O(E) incidence check replaces the reference's extra
-        # confirmation QR: loop only while removable deficiency exists
-        # (each removal pass is guaranteed to drop at least one row then)
-        while True:
-            _, rank, full = _rank_structure(ifirst_a[sel],
-                                            isecond_a[sel], nvelpar)
-            if full:
-                break
+        # ``known_full_rank``: the caller already PROVED full structural
+        # rank for this selection (the batched repair's exact incidence
+        # check) and has > 1 rows — skip the redundant re-check. Purely
+        # a recomputation skip: the loop below would run _rank_structure
+        # once, see full, and break.
+        if not known_full_rank:
+            ifirst_a = np.asarray(ifirst)
+            isecond_a = np.asarray(isecond)
+            # the O(E) incidence check replaces the reference's extra
+            # confirmation QR: loop only while removable deficiency
+            # exists (each removal pass then drops at least one row)
+            while True:
+                _, rank, full = _rank_structure(ifirst_a[sel],
+                                                isecond_a[sel], nvelpar)
+                if full:
+                    break
+                if b_mat.shape[0] <= 1:
+                    return nanvec, nanvec.copy(), nanvec.copy()
+                b_mat, ifgv, sel, rmrow = _remove_rank_def_rows(
+                    b_mat, nvelpar, ifgv, sel, rank)
+                if len(rmrow) == 0:     # defensive: no progress -> bail
+                    break
             if b_mat.shape[0] <= 1:
                 return nanvec, nanvec.copy(), nanvec.copy()
-            b_mat, ifgv, sel, rmrow = _remove_rank_def_rows(
-                b_mat, nvelpar, ifgv, sel, rank)
-            if len(rmrow) == 0:     # defensive: no progress -> bail
-                break
-        if b_mat.shape[0] <= 1:
-            return nanvec, nanvec.copy(), nanvec.copy()
         velflag = np.sum(np.abs(b_mat), axis=0)
-        b_mat = b_mat[:, ~np.isclose(velflag, 0.0)]
+        # |x| <= 1e-8 == np.isclose(x, 0.0) at rtol*|0| = 0 — same
+        # booleans, no broadcasting machinery (r8)
+        b_mat = b_mat[:, np.abs(velflag) > 1e-8]
     else:
         velflag = np.ones(nvelpar)
 

@@ -133,7 +133,7 @@ def maxvar_full(series: DataFrame, cfg: EngineConfig = DEFAULT,
     stack/time-series inversions with it (covariance.py:312-343)."""
     import pandas as pd
     import numpy as np
-    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.operators.grouped import keyed_apply
     from pyrate_spark.kernels.covariance import (cvd_from_series,
                                                  series_to_grid)
     dt_days = bucket_seconds / 86400.0
@@ -159,8 +159,8 @@ def maxvar_full(series: DataFrame, cfg: EngineConfig = DEFAULT,
                                            "n_grid", "nzc"])
 
     nb = n_buckets or cfg.salt_buckets
-    return (_bucketed(series, "url", nb, detect_hot=False)
-            .groupBy("_bucket").applyInPandas(fn, schema))
+    return keyed_apply(series, "url", nb, fn, schema,
+                       detect_hot=False)
 
 
 def orbital_network(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
@@ -172,14 +172,13 @@ def orbital_network(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     Emits the pairs with `delta_corrected` plus the fitted per-epoch
     offsets on both ends (o_first/o_second). Kernel semantics:
     operators/udf_kernels.make_orbnet_fn."""
-    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.operators.grouped import keyed_apply
     from pyrate_spark.operators.udf_kernels import make_orbnet_fn
     schema = ("url string, ts_first timestamp, ts_second timestamp, "
               "delta_corrected double, o_first double, o_second double")
     nb = n_buckets or cfg.salt_buckets
-    return (_bucketed(pairs, "url", nb, detect_hot=False)
-            .groupBy("_bucket").applyInPandas(make_orbnet_fn(use_mst),
-                                              schema))
+    return keyed_apply(pairs, "url", nb, make_orbnet_fn(use_mst),
+                       schema, detect_hot=False)
 
 
 def closure_mask(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
@@ -195,7 +194,8 @@ def closure_mask(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     """
     import pandas as pd
     import numpy as np
-    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.operators.grouped import (_bucketed,
+                                                keyed_apply)
     from pyrate_spark.kernels.closure import (closed_loops,
                                               discard_loops_containing_max_ifg_count,
                                               sum_closure)
@@ -253,8 +253,8 @@ def closure_mask(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                     "time_span", "nan_fraction", "n_loops", "n_breach"]]
 
     nb = n_buckets or cfg.salt_buckets
-    return (_bucketed(pairs, "url", nb, detect_hot=False)
-            .groupBy("_bucket").applyInPandas(fn, schema))
+    return keyed_apply(pairs, "url", nb, fn, schema,
+                       detect_hot=False)
 
 
 def closure_fixpoint(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
@@ -283,7 +283,8 @@ def closure_fixpoint(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     import pandas as pd
     import numpy as np
     from collections import defaultdict
-    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.operators.grouped import (_bucketed,
+                                                keyed_apply)
     from pyrate_spark.kernels.closure import (
         closed_loops, discard_loops_containing_max_ifg_count, sum_closure)
     max_len = cfg.max_loop_length
@@ -360,8 +361,8 @@ def closure_fixpoint(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
         return out[keep_mask]
 
     nb_ = n_buckets or cfg.salt_buckets
-    return (_bucketed(pairs, "url", nb_, detect_hot=False)
-            .groupBy("_bucket").applyInPandas(fn, schema))
+    return keyed_apply(pairs, "url", nb_, fn, schema,
+                       detect_hot=False)
 
 
 def aux_tile_average(series: DataFrame, aux_col: str = "aux",
@@ -442,7 +443,8 @@ def cohort_lowpass_fft(series: DataFrame, cfg: EngineConfig = DEFAULT,
     one small numpy array."""
     import numpy as np
     import pandas as pd
-    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.operators.grouped import (_bucketed,
+                                                keyed_apply)
     from pyrate_spark.kernels.covariance import (gaussian_lowpass_grid,
                                                  series_to_grid)
     if cohort_expr is None:
@@ -499,7 +501,8 @@ def closure_loop_counts(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     SQL-verifiable by a 3-way self-join."""
     import pandas as pd
     import numpy as np
-    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.operators.grouped import (_bucketed,
+                                                keyed_apply)
     from pyrate_spark.kernels.closure import dedupe_loops, find_loops
 
     schema = "url string, n_loops long"
@@ -526,8 +529,8 @@ def closure_loop_counts(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
         return pd.DataFrame(rows, columns=["url", "n_loops"])
 
     nb = n_buckets or cfg.salt_buckets
-    return (_bucketed(pairs, "url", nb, detect_hot=False)
-            .groupBy("_bucket").applyInPandas(fn, schema))
+    return keyed_apply(pairs, "url", nb, fn, schema,
+                       detect_hot=False)
 
 
 def closure_sums(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
@@ -558,7 +561,8 @@ def closure_sums(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     residual, which the signed-zero-preserving gate round exposes)."""
     import pandas as pd
     import numpy as np
-    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.operators.grouped import (_bucketed,
+                                                keyed_apply)
     from pyrate_spark.kernels.closure import (closed_loops,
                                               discard_loops_containing_max_ifg_count)
     max_len = cfg.max_loop_length
@@ -605,8 +609,8 @@ def closure_sums(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                                            "loop_weight", "closure"])
 
     nb = n_buckets or cfg.salt_buckets
-    return (_bucketed(pairs, "url", nb, detect_hot=False)
-            .groupBy("_bucket").applyInPandas(fn, schema))
+    return keyed_apply(pairs, "url", nb, fn, schema,
+                       detect_hot=False)
 
 
 def dem_error_analog(series: DataFrame, cfg: EngineConfig = DEFAULT,
@@ -620,7 +624,8 @@ def dem_error_analog(series: DataFrame, cfg: EngineConfig = DEFAULT,
     valid obs (dem_error.py:200)."""
     import pandas as pd
     import numpy as np
-    from pyrate_spark.operators.grouped import _bucketed
+    from pyrate_spark.operators.grouped import (_bucketed,
+                                                keyed_apply)
     from pyrate_spark.operators.udf_kernels import group_slices, ts_seconds
 
     schema = ("url string, warc_ts timestamp, value double, "
@@ -653,5 +658,5 @@ def dem_error_analog(series: DataFrame, cfg: EngineConfig = DEFAULT,
 
     nb = n_buckets or cfg.salt_buckets
     src = series
-    return (_bucketed(src, "url", nb, detect_hot=False)
-            .groupBy("_bucket").applyInPandas(fn, schema))
+    return keyed_apply(src, "url", nb, fn, schema,
+                       detect_hot=False)

@@ -33,6 +33,7 @@ Kernel semantics and reference citations: pyrate_spark.kernels.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -97,6 +98,116 @@ def salted_buckets(df: DataFrame, key: str = "url",
                     F.col("_hot_bucket"),
                     F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))))
             .drop("_hot_bucket"))
+
+
+def clustered_by_key(df: DataFrame, key: str) -> bool:
+    """True when ``df``'s physical output partitioning already hash-
+    clusters rows by exactly ``key`` — i.e. every key's rows are in one
+    partition and a grouped-map stage can run WITHOUT its own exchange
+    (guide: two operations keyed the same way share one exchange).
+
+    Soundness: we read the pre-AQE initial physical plan (AQE reports
+    UnknownPartitioning before execution, and at runtime may only
+    COALESCE reduce partitions — merging whole partitions preserves
+    same-key-same-partition — or split skewed JOIN partitions, which
+    never applies to the stage-output partitioning seen here). The
+    partitioning must be HashPartitioning over a single
+    AttributeReference whose exprId is the SAME attribute as the
+    frame's ``key`` output column, so a rename / rebuild / repartition
+    by anything else makes this return False and the caller falls back
+    to the explicit bucketed exchange.
+
+    The frame must additionally bottom out (through Project/Filter
+    only) in a PERSISTED relation: a cached plan's partition layout is
+    pinned at materialisation, while an unpersisted exchange is
+    re-planned per query and AQE's byte-based coalescing can legally
+    collapse a small-byte but compute-heavy stage to ONE partition
+    (measured: a 98k-row pair window coalesced 32 -> 1 and turned the
+    python stage into a serial 7 s task — bytes are the wrong cost
+    model for grouped-map compute, the same reason _bucketed uses an
+    explicit coalesce-exempt repartition)."""
+    if os.environ.get("PYRATE_NO_CLUSTER_REUSE"):
+        return False
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        while node.getClass().getSimpleName() in ("Project", "Filter"):
+            node = node.children().head()
+        if node.getClass().getSimpleName() != "InMemoryRelation":
+            return False
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.initialPlan()
+        part = plan.outputPartitioning()
+        if part.getClass().getSimpleName() != "HashPartitioning":
+            return False
+        exprs = part.expressions()
+        if exprs.length() != 1:
+            return False
+        e = exprs.apply(0)
+        if e.getClass().getSimpleName() != "AttributeReference" \
+                or e.name() != key:
+            return False
+        out = qe.analyzed().output().iterator()
+        while out.hasNext():
+            a = out.next()
+            if a.name() == key:
+                return bool(a.exprId().equals(e.exprId()))
+        return False
+    except Exception:
+        return False
+
+
+def keyed_apply(df: DataFrame, key: str, n_buckets: int, fn, schema,
+                detect_hot: bool = True,
+                hot_keys: tuple | None = None) -> DataFrame:
+    """Run a many-keys-per-frame grouped-map kernel. Two plans:
+
+    - input already hash-clustered by ``key`` (the upstream window /
+      aggregation partitioning, detected soundly by
+      :func:`clustered_by_key`): ``mapInPandas`` over the existing
+      partitions — ZERO additional exchange, no salting join — for the
+      cold keys, which are ~all the rows. The kernels batch many keys
+      per frame and slice per key themselves, so partition boundaries
+      are as good as bucket boundaries; peak worker memory is one
+      partition's columns, the same ~100-500 MB budget the bucket-count
+      rule targets at cluster scale.
+
+      HOT keys still take a dedicated exchanged path: per-key kernel
+      cost is superlinear in per-key observation count (the inversion
+      is O(epochs^3)), so a partition that happens to hold several
+      20x-dense keys becomes a 10-20x straggler (measured: 43 s max vs
+      2 s median task). The hot subset is tiny by construction
+      (hot_factor x mean), so its ``groupBy(key)`` exchange moves only
+      those rows and each hot key becomes its own task — the exact
+      skew isolation the salted path had, at a fraction of the shuffle.
+    - otherwise: the r1-r7 salted-bucket path (one exchange, explicit
+      hot-key isolation).
+    """
+    if clustered_by_key(df, key):
+        if hot_keys is None:
+            hot_keys = (detect_hot_keys(df, key) if detect_hot else ())
+
+        def mfn(batches):
+            import pandas as pd
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = (pdfs[0] if len(pdfs) == 1
+                   else pd.concat(pdfs, ignore_index=True))
+            if len(pdf):
+                yield fn(pdf)
+
+        if not hot_keys:
+            return df.mapInPandas(mfn, schema)
+        hot_list = [k for k in hot_keys]
+        cold = df.where(~F.col(key).isin(hot_list))
+        hot = df.where(F.col(key).isin(hot_list))
+        return (cold.mapInPandas(mfn, schema)
+                .unionByName(hot.groupBy(key).applyInPandas(fn, schema)))
+    return (_bucketed(df, key, n_buckets, detect_hot=detect_hot,
+                      hot_keys=hot_keys)
+            .groupBy("_bucket").applyInPandas(fn, schema))
 
 
 def _bucketed(df: DataFrame, key: str, n_buckets: int,
@@ -167,9 +278,9 @@ def timeseries_per_url(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     fn = make_timeseries_fn(cfg.ts_method, cfg.ts_pthr, cfg.sm_order,
                             cfg.sm_factor, use_mst,
                             getattr(cfg, "vcm_mode", "identity"))
-    return (_bucketed(_ts_input(pairs), "url",
-                      n_buckets or cfg.salt_buckets, detect_hot, hot_keys)
-            .groupBy("_bucket").applyInPandas(fn, TS_SCHEMA))
+    return keyed_apply(_ts_input(pairs), "url",
+                       n_buckets or cfg.salt_buckets, fn, TS_SCHEMA,
+                       detect_hot, hot_keys)
 
 
 def _ts_input(pairs: DataFrame) -> DataFrame:
@@ -192,9 +303,8 @@ def stack_rate_per_url(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     scaled by velerror_nsig (stack.py:60)."""
     fn = make_stack_fn(cfg.nsig, cfg.pthr, float(cfg.velerror_nsig),
                        use_mst, getattr(cfg, "vcm_mode", "identity"))
-    return (_bucketed(pairs, "url", n_buckets or cfg.salt_buckets,
-                      detect_hot, hot_keys)
-            .groupBy("_bucket").applyInPandas(fn, STACK_SCHEMA))
+    return keyed_apply(pairs, "url", n_buckets or cfg.salt_buckets,
+                       fn, STACK_SCHEMA, detect_hot, hot_keys)
 
 
 def mask_rate_df(rates: DataFrame, maxsig: float) -> DataFrame:
@@ -219,9 +329,8 @@ def linear_rate_per_url(tscuml_df: DataFrame, cfg: EngineConfig = DEFAULT,
     ``error`` scaled by velerror_nsig (timeseries.py:379). No hot pass:
     per-key rows are bounded by epoch count."""
     fn = make_linear_rate_fn(float(cfg.velerror_nsig), value_col, ts_col)
-    return (_bucketed(tscuml_df, "url", n_buckets or cfg.salt_buckets,
-                      detect_hot=False)
-            .groupBy("_bucket").applyInPandas(fn, LR_SCHEMA))
+    return keyed_apply(tscuml_df, "url", n_buckets or cfg.salt_buckets,
+                       fn, LR_SCHEMA, detect_hot=False)
 
 
 def linear_rate_from_pairs(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
@@ -242,9 +351,9 @@ def linear_rate_from_pairs(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
                                   cfg.sm_order, cfg.sm_factor, use_mst,
                                   getattr(cfg, "vcm_mode", "identity"),
                                   float(cfg.velerror_nsig))
-    return (_bucketed(_ts_input(pairs), "url",
-                      n_buckets or cfg.salt_buckets, detect_hot, hot_keys)
-            .groupBy("_bucket").applyInPandas(fn, LR_SCHEMA))
+    return keyed_apply(_ts_input(pairs), "url",
+                       n_buckets or cfg.salt_buckets, fn, LR_SCHEMA,
+                       detect_hot, hot_keys)
 
 
 def temporal_highpass_per_url(series: DataFrame,
@@ -257,9 +366,8 @@ def temporal_highpass_per_url(series: DataFrame,
     Window.rangeBetween cannot express."""
     fn = make_temporal_hp_fn(cfg.tlpf_cutoff_days, cfg.tlpf_pthr,
                              value_col, ts_col)
-    return (_bucketed(series, "url", n_buckets or cfg.salt_buckets,
-                      detect_hot=False)
-            .groupBy("_bucket").applyInPandas(fn, THP_SCHEMA))
+    return keyed_apply(series, "url", n_buckets or cfg.salt_buckets,
+                       fn, THP_SCHEMA, detect_hot=False)
 
 
 def mst_annotate(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
@@ -269,6 +377,5 @@ def mst_annotate(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     """Annotate each observation with its key's MST membership
     (mst.py:146-170 boolean cube -> boolean column)."""
     fn = make_mst_fn()
-    return (_bucketed(pairs, "url", n_buckets or cfg.salt_buckets,
-                      detect_hot, hot_keys)
-            .groupBy("_bucket").applyInPandas(fn, MST_SCHEMA))
+    return keyed_apply(pairs, "url", n_buckets or cfg.salt_buckets,
+                       fn, MST_SCHEMA, detect_hot, hot_keys)

@@ -28,6 +28,41 @@ from pyspark.sql import DataFrame, functions as F
 TIER_SECONDS = {"1 hour": 3600, "1 day": 86400, "1 week": 604800}
 
 
+def _cluster_by(df: DataFrame, key: str = "url") -> DataFrame:
+    """Pin a tier aggregation's exchange to hash(``key``) instead of
+    the finer (key, window) key Spark would pick (r8, guide §2.4 "two
+    operations keyed the same way share one exchange").
+
+    The aggregation needs exactly one exchange either way —
+    HashPartitioning(url) satisfies ClusteredDistribution(url, window)
+    because every (url, window) group is within one url — but keying
+    it by url makes the TIER'S OWN partitioning reusable: every
+    url-keyed consumer (anomaly windows, cascade aggregations, the
+    grouped-map kernels via clustered_by_key, per-url folds) then
+    plans ZERO further exchanges. Measured on the bench: the hourly
+    tier feeds 6+ downstream url-keyed stages that each paid a full
+    re-shuffle of ~1M rows.
+
+    Trade-off, documented: the shuffle moves RAW rows instead of
+    (url, window)-partial aggregates. For time-grid sources (this
+    engine's contract: rows per url bounded by the crawl/retention
+    window, ~1 row per tier bucket) the partial-aggregation saving is
+    nil and the clustering reuse wins outright; for sources with many
+    rows per (url, window) cell, pre-aggregate before calling the
+    rollup. Skew bound: one url's rows all land in one partition —
+    the same bound every per-url window operator here already lives
+    under. Streaming frames pass through untouched (stateful
+    aggregation manages its own partitioning); inputs already
+    clustered by ``key`` (cascade-of-cascade chains) skip the
+    repartition outright."""
+    if df.isStreaming:
+        return df
+    from pyrate_spark.operators.grouped import clustered_by_key
+    if clustered_by_key(df, key):
+        return df
+    return df.repartition(key)
+
+
 def tier_rollup(series: DataFrame, tier: str = "1 hour",
                 thresh: float = 0.5, value_col: str = "value") -> DataFrame:
     """Raw series -> one tier: (url, bucket_start, value_avg,
@@ -35,7 +70,7 @@ def tier_rollup(series: DataFrame, tier: str = "1 hour",
     if not 0.0 <= thresh <= 1.0:
         raise ValueError("threshold must be >= 0 and <= 1")  # prepifg_helper.py:219-220
     win = F.window("warc_ts", tier)
-    agg = (series
+    agg = (_cluster_by(series)
            .groupBy("url", win.alias("w"))
            .agg(F.avg(value_col).alias("_avg"),
                 F.avg(F.when(F.col(value_col).isNull(), 1.0)
@@ -72,7 +107,7 @@ def tier_rollup_stats(series: DataFrame, tier: str = "1 hour",
     ``cascade_rollup``)."""
     win = F.window("warc_ts", tier)
     v = F.col(value_col)
-    agg = (series
+    agg = (_cluster_by(series)
            .groupBy("url", win.alias("w"))
            .agg(F.min(v).alias("vmin"),
                 F.max(v).alias("vmax"),
@@ -98,7 +133,7 @@ def cascade_rollup(prev_tier: DataFrame, tier: str,
     null_fraction likewise re-weights the child fractions."""
     win = F.window("bucket_start", tier)
     n_valid = F.col("n_obs") * (1.0 - F.col("null_fraction"))
-    agg = (prev_tier
+    agg = (_cluster_by(prev_tier)
            .groupBy("url", win.alias("w"))
            .agg((F.sum(F.col("value_avg") * n_valid)
                  / F.sum(F.when(F.col("value_avg").isNotNull(), n_valid)
@@ -126,7 +161,7 @@ def nn_downsample(series: DataFrame, tier: str = "1 hour",
     # ties on the timestamp break on the larger value, deterministically
     last = F.max(F.struct(F.col("warc_ts").alias("ts"),
                           F.col(value_col).alias("v")))
-    return (series
+    return (_cluster_by(series)
             .groupBy("url", win.alias("w"))
             .agg(last.alias("_last"),
                  F.count(F.lit(1)).alias("n_obs"))
@@ -242,7 +277,7 @@ def ohlc_rollup(series: DataFrame, tier: str = "1 hour",
     v, ts = F.col(value_col), F.col(ts_col)
     valid_ts = F.when(v.isNotNull(), ts)     # min_by/max_by skip NULL keys
     win = F.window(ts_col, tier)
-    return (series
+    return (_cluster_by(series)
             .groupBy("url", win.alias("w"))
             .agg(F.min_by(v, valid_ts).alias("open"),
                  F.max(v).alias("high"),
@@ -264,7 +299,7 @@ def ohlc_cascade(prev_tier: DataFrame, tier: str) -> DataFrame:
     ``ohlc_rollup`` of raw at the coarser tier (pytest-pinned
     bit-equality)."""
     win = F.window("bucket_start", tier)
-    return (prev_tier
+    return (_cluster_by(prev_tier)
             .groupBy("url", win.alias("w"))
             .agg(F.min_by("open", "open_ts").alias("open"),
                  F.max("high").alias("high"),
@@ -312,7 +347,7 @@ def histogram_rollup(series: DataFrame, tier: str = "1 hour",
     win = F.window(ts_col, tier)
     cnt = [F.count(F.when(idx == i, 1)).alias(f"_b{i}")
            for i in range(n_bins + 2)]
-    return (series
+    return (_cluster_by(series)
             .groupBy("url", win.alias("w"))
             .agg(*cnt, F.count(v).alias("n_valid"))
             .select("url", F.col("w.start").alias("bucket_start"),
@@ -330,7 +365,7 @@ def histogram_cascade(hist_df: DataFrame, tier: str,
     win = F.window("bucket_start", tier)
     sums = [F.sum(F.element_at("counts", i + 1)).alias(f"_b{i}")
             for i in range(n_bins + 2)]
-    return (hist_df
+    return (_cluster_by(hist_df)
             .groupBy("url", win.alias("w"))
             .agg(*sums, F.sum("n_valid").alias("n_valid"))
             .select("url", F.col("w.start").alias("bucket_start"),
@@ -403,7 +438,7 @@ def distinct_tier(series: DataFrame, tier: str = "1 hour",
     == distinct values and the exact-mode gate stays valid.
     """
     win = F.window(ts_col, tier)
-    return (series.where(F.col(value_col).isNotNull())
+    return (_cluster_by(series.where(F.col(value_col).isNotNull()))
             .groupBy("url", win.alias("w"))
             .agg(F.hll_sketch_agg(F.col(value_col).cast("string"),
                                   F.lit(lg_k)).alias("sketch"))
@@ -419,7 +454,7 @@ def distinct_cascade(tier_df: DataFrame, tier: str) -> DataFrame:
     while groups stay in the sketch's exact mode (gate-pinned), the
     standard mergeable-sketch bound beyond it."""
     win = F.window("bucket_start", tier)
-    return (tier_df
+    return (_cluster_by(tier_df)
             .groupBy("url", win.alias("w"))
             .agg(F.hll_union_agg("sketch").alias("sketch"))
             .select("url", F.col("w.start").alias("bucket_start"),

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 from pyrate_spark.kernels.epochs import SECONDS_PER_YEAR, epochs_from_pairs
-from pyrate_spark.kernels.linalg import linregress_batch
+from pyrate_spark.kernels.linalg import linregress_segments
 from pyrate_spark.kernels.mst import mst_select_pixel, mst_stats
 from pyrate_spark.kernels.stack import stack_rate_pixel
 from pyrate_spark.kernels.tempfilter import temporal_high_pass
@@ -118,10 +118,11 @@ def _prep_key(first_all, second_all, phase_all, weight_all, idx,
 
 
 def _solve_key(state, mv_all, method, pthr, smorder, smfactor,
-               vcm_mode):
+               vcm_mode, known_full_rank=False):
     """Per-key inversion solve: VCM weighting + SVD/Laplacian solve.
     Returns (dates, spans, tsincr, tscuml) — NaN series on singular
-    systems."""
+    systems. ``known_full_rank``: the batched repair already proved
+    this selection's structural rank (skip the pixel's re-check)."""
     idx, phase, dates, spans, ifirst, isecond, sel, interp = state
     vcmt = _vcmt_for(vcm_mode, phase, ifirst, isecond,
                      mv_all[idx] if mv_all is not None else None)
@@ -129,7 +130,8 @@ def _solve_key(state, mv_all, method, pthr, smorder, smfactor,
         _, tsincr, tscuml = time_series_pixel(
             phase, ifirst, isecond, spans, method=method,
             pthresh=pthr, smorder=smorder, smfactor_log10=smfactor,
-            vcmt=vcmt, mst_sel=sel, interp=interp)
+            vcmt=vcmt, mst_sel=sel, interp=interp,
+            known_full_rank=known_full_rank)
     except np.linalg.LinAlgError:
         nv = len(dates) - 1
         tsincr = tscuml = np.full(nv, np.nan, dtype=np.float32)
@@ -149,16 +151,20 @@ def _batched_repair(states, pthr):
     composition (O4 determinism); equivalence with the pixel-internal
     scalar repair is pinned by tests/test_fused_rates.py.
 
-    Returns {state_index: repaired_row_index_array}. A repaired key is
-    then solved with ``mst_sel`` = that selection and ``pthresh=0``:
-    the pixel re-runs the exact structural check, sees full rank (or
-    <= 1 rows -> NaN), and never enters its own scalar repair. The
-    pthresh gate was already applied here on the ORIGINAL selection,
-    matching the pixel's entry check."""
+    Returns ({state_index: repaired_row_index_array}, full_rank_known:
+    set of state indices whose final selection PROVED full structural
+    rank with > 1 rows — for these the solve can skip the pixel's
+    re-check outright). A repaired key is then solved with ``mst_sel``
+    = that selection and ``pthresh=0``: the pixel re-runs the exact
+    structural check (unless full_rank_known), sees full rank (or <= 1
+    rows -> NaN), and never enters its own scalar repair. The pthresh
+    gate was already applied here on the ORIGINAL selection, matching
+    the pixel's entry check."""
     from pyrate_spark.kernels.linalg import gram_pivot_order_batched
     from pyrate_spark.kernels.timeseries import (_rank_structure,
                                                  design_matrix)
     work: dict[int, list] = {}
+    full_known: set[int] = set()
     for i, st in enumerate(states):
         if st is None:
             continue
@@ -172,6 +178,7 @@ def _batched_repair(states, pthr):
         _, rank, full = _rank_structure(ifirst[sel_idx],
                                         isecond[sel_idx], nvelpar)
         if full:
+            full_known.add(i)   # unrepaired AND proven full rank
             continue
         work[i] = [sel_idx, rank, nvelpar]
 
@@ -188,39 +195,69 @@ def _batched_repair(states, pthr):
 
     repaired: dict[int, np.ndarray] = {}
     while work:
-        by_n: dict[int, list] = {}
-        for i, (sel_idx, rank, nvel) in work.items():
-            b = _b0(i)[sel_idx]
-            by_n.setdefault(nvel, []).append((i, b.T @ b))
-        pivs = {}
-        for items in by_n.values():
-            pv = gram_pivot_order_batched(
-                np.stack([g for _, g in items]))
-            for j, (i, _) in enumerate(items):
-                pivs[i] = pv[j]
-        for i in list(work):
-            sel_idx, rank, nvel = work[i]
-            licols = pivs[i][rank:nvel]
-            rmrow = np.unique(
-                np.where(_b0(i)[sel_idx][:, licols] != 0)[0])
-            if len(rmrow) == 0:        # defensive: no progress -> bail
-                repaired[i] = sel_idx
-                del work[i]
-                continue
-            sel_idx = np.delete(sel_idx, rmrow)
-            if len(sel_idx) <= 1:      # pixel returns NaN on this
-                repaired[i] = sel_idx
-                del work[i]
-                continue
-            st = states[i]
-            _, rank, full = _rank_structure(st[4][sel_idx],
-                                            st[5][sel_idx], nvel)
-            if full:
-                repaired[i] = sel_idx
-                del work[i]
-            else:
-                work[i] = [sel_idx, rank, nvel]
-    return repaired
+        # ONE padded stack per round instead of one stack per distinct
+        # matrix size (r8): the zero-padded columns of a Gram matrix
+        # have zero diagonal residual and zero cross terms, so the
+        # greedy pivot picks every real column first in the EXACT
+        # per-key sequence (validated bit-equal over 400 random
+        # incidence grams) — and the vectorized core amortises its
+        # python per-iteration overhead over the whole round's keys
+        # rather than size-fragmented batches of 1-5.
+        # SIZE-HOMOGENEOUS chunks: padding costs (chunk_max_nvel)^2 per
+        # key, so one epoch-rich key (nvel ~750) chunked with
+        # tier-shaped keys (nvel ~40) would inflate every chunk-mate's
+        # Gram 350x AND push the whole padded stack onto the scalar
+        # fallback (measured: a single near-hot key turned its
+        # partition into a 10 s straggler, 123 scalar 740x740 pivots
+        # for one round). Sort by nvel and BREAK a chunk when the next
+        # key's nvel exceeds 1.25x the chunk's smallest (bounded
+        # padding waste) or at 128 keys (bounded held memory); outsized
+        # keys end up alone and take the same scalar path they always
+        # did. Per-key pivot trajectories are chunk-composition-
+        # invariant, so none of this can change results.
+        idxs = sorted(work, key=lambda i: (work[i][2], i))
+        chunks = []
+        cur = []
+        for i in idxs:
+            if cur and (len(cur) == 128
+                        or work[i][2] > 1.25 * work[cur[0]][2]):
+                chunks.append(cur)
+                cur = []
+            cur.append(i)
+        if cur:
+            chunks.append(cur)
+        for chunk in chunks:
+            bs = [_b0(i)[work[i][0]] for i in chunk]
+            nmax = max(b.shape[1] for b in bs)
+            padded = np.zeros((len(bs), nmax, nmax))
+            for j, b in enumerate(bs):
+                n = b.shape[1]
+                padded[j, :n, :n] = b.T @ b
+            pv = gram_pivot_order_batched(padded)
+            for j, i in enumerate(chunk):
+                sel_idx, rank, nvel = work[i]
+                licols = pv[j][rank:nvel]
+                rmrow = np.unique(
+                    np.where(bs[j][:, licols] != 0)[0])
+                if len(rmrow) == 0:    # defensive: no progress -> bail
+                    repaired[i] = sel_idx
+                    del work[i]
+                    continue
+                sel_idx = np.delete(sel_idx, rmrow)
+                if len(sel_idx) <= 1:  # pixel returns NaN on this
+                    repaired[i] = sel_idx
+                    del work[i]
+                    continue
+                st = states[i]
+                _, rank, full = _rank_structure(st[4][sel_idx],
+                                                st[5][sel_idx], nvel)
+                if full:
+                    repaired[i] = sel_idx
+                    full_known.add(i)
+                    del work[i]
+                else:
+                    work[i] = [sel_idx, rank, nvel]
+    return repaired, full_known
 
 
 def _inverted_keys(pdf, method, pthr, smorder, smfactor, use_mst,
@@ -237,7 +274,7 @@ def _inverted_keys(pdf, method, pthr, smorder, smfactor, use_mst,
     groups = list(group_slices(pdf))
     states = [_prep_key(first_all, second_all, phase_all, weight_all,
                         idx, use_mst) for _, idx in groups]
-    repaired = _batched_repair(states, pthr)
+    repaired, full_known = _batched_repair(states, pthr)
     for i, ((url, _), st) in enumerate(zip(groups, states)):
         if st is None:
             continue
@@ -248,10 +285,12 @@ def _inverted_keys(pdf, method, pthr, smorder, smfactor, use_mst,
             st = (idx, phase, dates, spans, ifirst, isecond,
                   newmask, interp)
             yield (url, *_solve_key(st, mv_all, method, 0, smorder,
-                                    smfactor, vcm_mode))
+                                    smfactor, vcm_mode,
+                                    known_full_rank=i in full_known))
         else:
             yield (url, *_solve_key(st, mv_all, method, pthr, smorder,
-                                    smfactor, vcm_mode))
+                                    smfactor, vcm_mode,
+                                    known_full_rank=i in full_known))
 
 
 def make_timeseries_fn(method: int, pthr: int, smorder: int,
@@ -324,14 +363,14 @@ def make_timeseries_rates_fn(method: int, pthr: int, smorder: int,
         if not urls:
             return pd.DataFrame(columns=["url", "rate", "intercept",
                                          "rsquared", "error", "samples"])
-        width = max(len(t) for t in ts_axes)
-        n = len(urls)
-        T = np.zeros((n, width))
-        Y = np.full((n, width), np.nan)
-        for i, (t, y) in enumerate(zip(ts_axes, ys)):
-            T[i, :len(t)] = (t - t[0]) / SECONDS_PER_YEAR
-            Y[i, :len(y)] = y
-        s, i_, r2, se, ns = linregress_batch(T, Y)
+        # composition-invariant segment regression (see
+        # linregress_segments): per-key sums never depend on which
+        # other keys share the frame
+        starts = np.cumsum([0] + [len(t) for t in ts_axes[:-1]])
+        t_cat = np.concatenate(
+            [(t - t[0]) / SECONDS_PER_YEAR for t in ts_axes])
+        y_cat = np.concatenate(ys)
+        s, i_, r2, se, ns = linregress_segments(t_cat, y_cat, starts)
         return pd.DataFrame({
             "url": urls, "rate": s, "intercept": i_, "rsquared": r2,
             "error": se * err_scale, "samples": ns})
@@ -380,19 +419,17 @@ def make_linear_rate_fn(err_scale: float, value_col: str, ts_col: str):
         if not slices:
             return pd.DataFrame(columns=["url", "rate", "intercept",
                                          "rsquared", "error", "samples"])
-        width = max(len(idx) for _, idx in slices)
-        n = len(slices)
-        T = np.zeros((n, width))
-        Y = np.full((n, width), np.nan)
-        urls = []
-        for i, (url, idx) in enumerate(slices):
+        # composition-invariant segment regression (linregress_segments)
+        urls, ts_parts, y_parts = [], [], []
+        for url, idx in slices:
             order = np.argsort(ts_all[idx], kind="stable")
             t = ts_all[idx][order]
-            y = y_all[idx][order]
-            T[i, :len(t)] = (t - t[0]) / SECONDS_PER_YEAR
-            Y[i, :len(y)] = y
+            ts_parts.append((t - t[0]) / SECONDS_PER_YEAR)
+            y_parts.append(y_all[idx][order])
             urls.append(url)
-        s, i_, r2, se, ns = linregress_batch(T, Y)
+        starts = np.cumsum([0] + [len(t) for t in ts_parts[:-1]])
+        s, i_, r2, se, ns = linregress_segments(
+            np.concatenate(ts_parts), np.concatenate(y_parts), starts)
         return pd.DataFrame({
             "url": urls, "rate": s, "intercept": i_, "rsquared": r2,
             "error": se * err_scale, "samples": ns})

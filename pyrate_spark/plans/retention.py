@@ -51,8 +51,16 @@ def _rewrite_partition(spark: SparkSession, part_dir: str, tmp_dir: str,
                        n_out: int) -> None:
     """Rewrite one partition's files into ``n_out`` files at a sibling
     tmp path (module-level so tests can wrap it to simulate a racing
-    append landing mid-rewrite)."""
-    (spark.read.parquet(part_dir).repartition(n_out)
+    append landing mid-rewrite).
+
+    ``coalesce`` not ``repartition`` (r8): compaction only needs to
+    MERGE small files, and coalesce does that with zero shuffle — no
+    hash partitioning, no round-robin pre-sort (repartition(n) pays a
+    local sort per task, SPARK-23207), each output task just reads a
+    share of the input splits sequentially. Output file sizes are as
+    even as the input split packing, which is all a small-file
+    compactor needs; row content is identical either way."""
+    (spark.read.parquet(part_dir).coalesce(n_out)
      .write.mode("overwrite").parquet(tmp_dir))
 
 

@@ -95,6 +95,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     con = duckdb.connect()
+    # single-threaded oracle: DuckDB's parallel aggregation sums in a
+    # nondeterministic partial order, so a value sitting at a rounding
+    # (or float32-squash) boundary can flip between runs — observed on
+    # dem_error_derived's aux_coef (72.00864 vs 72.00865 across
+    # identical runs at threads=default; stable and Spark-matching at
+    # threads=1). One thread makes the local gate deterministic.
+    con.execute("SET threads TO 1")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "

@@ -239,3 +239,37 @@ def test_seasonal_baseline_skips_nulls(spark):
                             ts_col="bucket_start").collect()
     assert len(out) == 3
     assert all(r["baseline"] == 2.0 and r["n_profile"] == 1 for r in out)
+
+
+def test_zscore_window_sums_equal_explicit_fold(spark):
+    """r8 pin: the windowed sum/sum-of-squares form must stay a
+    bit-exact left fold in frame order — the contract the DuckDB
+    oracle replays with list_reduce. If a Spark version ever changed
+    bounded-frame evaluation order, THIS fails (not the driver gate)."""
+    import numpy as np
+    from pyspark.sql import Window, functions as F
+    rng = np.random.default_rng(13)
+    rows = [(f"u{i % 7}", 3600 * (i // 7), float(rng.normal(0, 1)))
+            for i in range(700)]
+    df = _tier(spark, rows)
+    got = (anomaly_zscore(df, window=24, nsig=2.0, min_obs=6,
+                          ts_col="bucket_start")
+           .toPandas().sort_values(["url", "bucket_start"])
+           .reset_index(drop=True))
+    w = (Window.partitionBy("url").orderBy("bucket_start")
+         .rowsBetween(-24, -1))
+    t = df.where(F.col("value_avg").isNotNull())
+    t = t.withColumn("_hist", F.collect_list("value_avg").over(w))
+    n = F.size("_hist")
+    s = F.aggregate("_hist", F.lit(0.0), lambda a, v: a + v)
+    ss = F.aggregate("_hist", F.lit(0.0), lambda a, v: a + v * v)
+    mean = F.when(n > 0, s / n)
+    var = F.when(n > 1, (ss - n * mean * mean) / (n - 1))
+    std = F.when(var > 0, F.sqrt(var))
+    z = F.when(std.isNotNull(), (F.col("value_avg") - mean) / std)
+    exp = (t.select("url", "bucket_start", z.alias("zscore"))
+           .toPandas().sort_values(["url", "bucket_start"])
+           .reset_index(drop=True))
+    a = got["zscore"].to_numpy()
+    b = exp["zscore"].to_numpy()
+    assert np.array_equal(a.view(np.uint64), b.view(np.uint64))

@@ -54,8 +54,32 @@ def test_fused_halves_the_exchanges(spark, pairs):
                                                  use_mst=False), cfg)
     fused = linear_rate_from_pairs(pairs, cfg, use_mst=False)
     assert exchange_count(fused) < exchange_count(two)
+    # r8: the persisted pair network is already hash-clustered by url
+    # (the window's partitioning), so the fused stage runs shuffle-free
+    # as MapInPandas — zero NEW exchanges on top of the input's own
+    # (exchange_count also sees the exchanges INSIDE the cached plan)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert exchange_count(fused) == exchange_count(pairs)
+
+
+def test_fused_unclustered_input_keeps_bucketed_path(spark, pairs):
+    """An input whose partitioning does NOT cluster by url (round-robin
+    repartition) must fall back to the salted-bucket exchange — the
+    shuffle-free path would silently split keys across frames."""
+    cfg = EngineConfig(ts_method=2, ts_pthr=0, salt_buckets=16)
+    scrambled = pairs.repartition(7)
+    fused = linear_rate_from_pairs(scrambled, cfg, use_mst=False)
     plan = fused._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 1
+    # and the results are bit-identical to the clustered path
+    a = _rates_pd(fused)
+    b = _rates_pd(linear_rate_from_pairs(pairs, cfg, use_mst=False))
+    assert list(a["url"]) == list(b["url"])
+    for c in ("rate", "intercept", "rsquared", "error", "samples"):
+        np.testing.assert_array_equal(a[c].to_numpy().view(np.uint64),
+                                      b[c].to_numpy().view(np.uint64),
+                                      err_msg=c)
 
 
 @pytest.mark.parametrize("method,pthr,use_mst,vcm", [
