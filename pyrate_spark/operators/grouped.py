@@ -51,11 +51,20 @@ from pyrate_spark.operators.udf_kernels import (make_linear_rate_fn,
 # --------------------------------------------------------------------------
 
 def detect_hot_keys(df: DataFrame, key: str = "url",
-                    hot_factor: float = 20.0) -> tuple:
+                    hot_factor: float = 8.0) -> tuple:
     """One counting aggregation -> the (tiny, sorted) set of keys whose
     row-count exceeds hot_factor x mean. Compute this ONCE per pipeline
     and thread the result through every grouped stage via ``hot_keys``
-    instead of paying a detection pass per stage."""
+    instead of paying a detection pass per stage.
+
+    Default lowered 20 -> 8 (r8): per-key kernel cost is O(epochs^3),
+    so a key at 19x the mean row count is ~7000x the mean COMPUTE —
+    measured as a 1.5 s cold-partition straggler (3 near-hot urls sat
+    just under the old 20x cut while their 20x siblings were
+    isolated). Isolating a key costs one tiny dedicated task, so the
+    threshold should err early; 8x keeps uniform keyspaces (the
+    events table) at zero detections while catching every generated
+    skew tier."""
     counts = df.groupBy(key).count()
     stats = counts.agg(F.avg("count").alias("mean")).first()
     mean = stats["mean"] or 1.0
@@ -65,7 +74,7 @@ def detect_hot_keys(df: DataFrame, key: str = "url",
 
 
 def salted_buckets(df: DataFrame, key: str = "url",
-                   n_buckets: int = 64, hot_factor: float = 20.0,
+                   n_buckets: int = 64, hot_factor: float = 8.0,
                    detect_hot: bool = True,
                    hot_keys: tuple | None = None) -> DataFrame:
     """Append ``_bucket``: uniform hash bucket, except keys whose
@@ -278,19 +287,24 @@ def timeseries_per_url(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     fn = make_timeseries_fn(cfg.ts_method, cfg.ts_pthr, cfg.sm_order,
                             cfg.sm_factor, use_mst,
                             getattr(cfg, "vcm_mode", "identity"))
-    return keyed_apply(_ts_input(pairs), "url",
+    return keyed_apply(_ts_input(pairs, use_mst), "url",
                        n_buckets or cfg.salt_buckets, fn, TS_SCHEMA,
                        detect_hot, hot_keys)
 
 
-def _ts_input(pairs: DataFrame) -> DataFrame:
+def _ts_input(pairs: DataFrame, use_mst: bool = True) -> DataFrame:
     """Project the inversion kernels' input columns before the shuffle:
     applyInPandas ships EVERY column of its input through the exchange
     and the Arrow boundary (Catalyst cannot prune into a python UDF),
     so unused pair columns (time_span — the kernels recompute spans
-    from epochs) are dead weight at 10^12 rows."""
+    from epochs) are dead weight at 10^12 rows. ``nan_fraction`` only
+    feeds the MST edge weights, so the non-MST path drops it too
+    (r8; the kernel's ``_pair_arrays`` already defaults it to zeros
+    when absent)."""
     keep = [c for c in ("url", "ts_first", "ts_second", "delta_value",
                         "nan_fraction", "maxvar") if c in pairs.columns]
+    if not use_mst and "nan_fraction" in keep:
+        keep.remove("nan_fraction")
     return pairs.select(*keep)
 
 
@@ -346,12 +360,49 @@ def linear_rate_from_pairs(pairs: DataFrame, cfg: EngineConfig = DEFAULT,
     Arrow round trip instead of two of each. Use when only the rates
     are needed; keep the two-stage form when the time series itself is
     a product."""
-    from pyrate_spark.operators.udf_kernels import make_timeseries_rates_fn
+    from pyrate_spark.operators.udf_kernels import (
+        make_timeseries_rates_arrow_fn, make_timeseries_rates_fn)
+    vcm = getattr(cfg, "vcm_mode", "identity")
     fn = make_timeseries_rates_fn(cfg.ts_method, cfg.ts_pthr,
                                   cfg.sm_order, cfg.sm_factor, use_mst,
-                                  getattr(cfg, "vcm_mode", "identity"),
-                                  float(cfg.velerror_nsig))
-    return keyed_apply(_ts_input(pairs), "url",
+                                  vcm, float(cfg.velerror_nsig))
+    src = _ts_input(pairs, use_mst)
+    if clustered_by_key(src, "url"):
+        # r8 grouped-list Arrow boundary: aggregate each url to ONE
+        # row JVM-side — the agg reuses the pair network's url
+        # clustering (zero exchange) — and ship
+        # (url, sorted list<struct(t1,t2,dv[,w][,mv])>) so each url
+        # string crosses the boundary once instead of per pair row.
+        # Hot keys still take the dedicated exchanged path (per-key
+        # cost is O(epochs^3)); see keyed_apply.
+        if hot_keys is None:
+            hot_keys = detect_hot_keys(src) if detect_hot else ()
+        has_w = "nan_fraction" in src.columns
+        has_mv = "maxvar" in src.columns
+        fields = [F.unix_timestamp("ts_first").alias("t1"),
+                  F.unix_timestamp("ts_second").alias("t2"),
+                  F.col("delta_value").alias("dv")]
+        if has_w:
+            fields.append(F.col("nan_fraction").alias("w"))
+        if has_mv:
+            fields.append(F.col("maxvar").alias("mv"))
+        afn = make_timeseries_rates_arrow_fn(
+            cfg.ts_method, cfg.ts_pthr, cfg.sm_order, cfg.sm_factor,
+            use_mst, vcm, float(cfg.velerror_nsig), has_w, has_mv)
+        cold = src
+        if hot_keys:
+            cold = src.where(~F.col("url").isin(list(hot_keys)))
+        out_cold = (cold
+                    .groupBy("url")
+                    .agg(F.sort_array(F.collect_list(
+                        F.struct(*fields))).alias("_s"))
+                    .mapInArrow(afn, LR_SCHEMA))
+        if not hot_keys:
+            return out_cold
+        hot = src.where(F.col("url").isin(list(hot_keys)))
+        return out_cold.unionByName(
+            hot.groupBy("url").applyInPandas(fn, LR_SCHEMA))
+    return keyed_apply(src, "url",
                        n_buckets or cfg.salt_buckets, fn, LR_SCHEMA,
                        detect_hot, hot_keys)
 

@@ -260,18 +260,13 @@ def _batched_repair(states, pthr):
     return repaired, full_known
 
 
-def _inverted_keys(pdf, method, pthr, smorder, smfactor, use_mst,
-                   vcm_mode):
-    """Inversion inner loop SHARED by ``make_timeseries_fn`` and the
-    fused ``make_timeseries_rates_fn`` (one body, so the two paths
-    cannot drift — tests/test_fused_rates.py additionally pins fused
-    == two-stage bit-equality). Yields (url, dates, spans, tsincr,
-    tscuml) per key. The rank-repair — 65% of the stage at bench
-    shape when run per key — is hoisted into batched rounds
-    (``_batched_repair``) before the per-key solves."""
-    first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
-    mv_all = _maxvar_array(pdf)
-    groups = list(group_slices(pdf))
+def _inverted_slices(groups, first_all, second_all, phase_all,
+                     weight_all, mv_all, method, pthr, smorder,
+                     smfactor, use_mst, vcm_mode):
+    """Array-form inversion inner loop: ``groups`` is a sequence of
+    (key, row-index array) into the flat observation arrays — however
+    the caller obtained them (pandas frame + group_slices, or Arrow
+    list offsets). Yields (key, dates, spans, tsincr, tscuml)."""
     states = [_prep_key(first_all, second_all, phase_all, weight_all,
                         idx, use_mst) for _, idx in groups]
     repaired, full_known = _batched_repair(states, pthr)
@@ -291,6 +286,26 @@ def _inverted_keys(pdf, method, pthr, smorder, smfactor, use_mst,
             yield (url, *_solve_key(st, mv_all, method, pthr, smorder,
                                     smfactor, vcm_mode,
                                     known_full_rank=i in full_known))
+
+
+def _inverted_keys(pdf, method, pthr, smorder, smfactor, use_mst,
+                   vcm_mode):
+    """Inversion inner loop SHARED by ``make_timeseries_fn``, the
+    fused ``make_timeseries_rates_fn`` and the Arrow list-form
+    ``make_timeseries_rates_arrow_fn`` (one body via
+    ``_inverted_slices``, so the paths cannot drift —
+    tests/test_fused_rates.py additionally pins fused == two-stage
+    bit-equality). Yields (url, dates, spans, tsincr, tscuml) per
+    key. The rank-repair — 65% of the stage at bench shape when run
+    per key — is hoisted into batched rounds (``_batched_repair``)
+    before the per-key solves."""
+    first_all, second_all, phase_all, weight_all = _pair_arrays(pdf)
+    mv_all = _maxvar_array(pdf)
+    groups = list(group_slices(pdf))
+    yield from _inverted_slices(groups, first_all, second_all,
+                                phase_all, weight_all, mv_all, method,
+                                pthr, smorder, smfactor, use_mst,
+                                vcm_mode)
 
 
 def make_timeseries_fn(method: int, pthr: int, smorder: int,
@@ -351,29 +366,112 @@ def make_timeseries_rates_fn(method: int, pthr: int, smorder: int,
     would."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        urls, ys, ts_axes = [], [], []
-        for url, dates, _spans, _tsincr, tscuml in _inverted_keys(
-                pdf, method, pthr, smorder, smfactor, use_mst,
-                vcm_mode):
-            urls.append(url)
-            # float32 round-trip == the TS_SCHEMA stage boundary
-            ys.append(np.concatenate(([0.0], tscuml))
-                      .astype(np.float32).astype(np.float64))
-            ts_axes.append(dates.astype(np.float64))
-        if not urls:
+        gen = _inverted_keys(pdf, method, pthr, smorder, smfactor,
+                             use_mst, vcm_mode)
+        urls, cols = _rates_columns(gen, err_scale)
+        if urls is None:
             return pd.DataFrame(columns=["url", "rate", "intercept",
                                          "rsquared", "error", "samples"])
-        # composition-invariant segment regression (see
-        # linregress_segments): per-key sums never depend on which
-        # other keys share the frame
-        starts = np.cumsum([0] + [len(t) for t in ts_axes[:-1]])
-        t_cat = np.concatenate(
-            [(t - t[0]) / SECONDS_PER_YEAR for t in ts_axes])
-        y_cat = np.concatenate(ys)
-        s, i_, r2, se, ns = linregress_segments(t_cat, y_cat, starts)
-        return pd.DataFrame({
-            "url": urls, "rate": s, "intercept": i_, "rsquared": r2,
-            "error": se * err_scale, "samples": ns})
+        return pd.DataFrame({"url": urls, **cols})
+    return fn
+
+
+def _rates_columns(gen, err_scale):
+    """Fused-rates epilogue shared by the pandas and Arrow forms:
+    consume the inversion generator, run the composition-invariant
+    segment regression (linregress_segments: per-key sums never depend
+    on which other keys share the frame), return (keys, columns)."""
+    urls, ys, ts_axes = [], [], []
+    for url, dates, _spans, _tsincr, tscuml in gen:
+        urls.append(url)
+        # float32 round-trip == the TS_SCHEMA stage boundary
+        ys.append(np.concatenate(([0.0], tscuml))
+                  .astype(np.float32).astype(np.float64))
+        ts_axes.append(dates.astype(np.float64))
+    if not urls:
+        return None, None
+    starts = np.cumsum([0] + [len(t) for t in ts_axes[:-1]])
+    t_cat = np.concatenate(
+        [(t - t[0]) / SECONDS_PER_YEAR for t in ts_axes])
+    y_cat = np.concatenate(ys)
+    s, i_, r2, se, ns = linregress_segments(t_cat, y_cat, starts)
+    return urls, {"rate": s, "intercept": i_, "rsquared": r2,
+                  "error": se * err_scale, "samples": ns}
+
+
+def make_timeseries_rates_arrow_fn(method: int, pthr: int, smorder: int,
+                                   smfactor: float, use_mst: bool,
+                                   vcm_mode: str, err_scale: float,
+                                   has_weight: bool, has_maxvar: bool):
+    """Fused pairs -> rates over the GROUPED-LIST Arrow layout (r8):
+    the JVM side aggregates each key to ONE row
+    ``(url, sort_array(collect_list(struct(t1, t2, dv[, w][, mv]))))``
+    — reusing the pair network's url clustering, so no exchange — and
+    this ``mapInArrow`` body unwraps the list column zero-copy (list
+    offsets -> per-key slices over the flat struct children, the
+    encode_tier pattern). The boundary then carries each url string
+    ONCE instead of per pair row (~75x less string traffic at bench
+    shape) and no per-row timestamps need datetime conversion.
+
+    Bit-exactness: the JVM ``sort_array`` orders each key's rows by
+    (t1, t2) — (t1, t2) is unique per key by the pair-network
+    contract, so this is exactly the kernel's lexsort order, and
+    ``_prep_key`` re-sorts anyway (a stable no-op here). The inversion
+    body and regression epilogue are the SAME ``_inverted_slices`` /
+    ``_rates_columns`` the pandas form uses; equality is pinned by
+    tests/test_fused_rates.py's arrow-vs-bucketed case."""
+
+    def fn(batches):
+        import pyarrow as pa
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            urls_arr = rb.column(0)
+            lst = rb.column(1)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            offs = np.asarray(lst.offsets)
+            flat = lst.flatten()
+            first_all = flat.field("t1").to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            second_all = flat.field("t2").to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            phase_all = flat.field("dv").to_numpy(
+                zero_copy_only=False).astype(np.float64, copy=False)
+            if has_weight:
+                weight_all = flat.field("w").to_numpy(
+                    zero_copy_only=False).astype(np.float64, copy=False)
+            else:
+                weight_all = np.zeros(len(phase_all))
+            if has_maxvar:
+                mv_all = flat.field("mv").to_numpy(
+                    zero_copy_only=False).astype(np.float64, copy=False)
+            else:
+                mv_all = None
+            starts = offs - offs[0]
+            groups = [(k, np.arange(starts[k], starts[k + 1]))
+                      for k in range(rb.num_rows)]
+            gen = _inverted_slices(groups, first_all, second_all,
+                                   phase_all, weight_all, mv_all,
+                                   method, pthr, smorder, smfactor,
+                                   use_mst, vcm_mode)
+            keys, cols = _rates_columns(gen, err_scale)
+            if keys is None:
+                continue
+            # from_pandas=True: NaN -> SQL NULL, exactly what the
+            # pandas-DataFrame return path has always produced
+            yield pa.RecordBatch.from_arrays(
+                [urls_arr.take(pa.array(keys, pa.int32())),
+                 pa.array(cols["rate"], pa.float64(), from_pandas=True),
+                 pa.array(cols["intercept"], pa.float64(),
+                          from_pandas=True),
+                 pa.array(cols["rsquared"], pa.float64(),
+                          from_pandas=True),
+                 pa.array(cols["error"], pa.float64(), from_pandas=True),
+                 pa.array(cols["samples"], pa.float64(),
+                          from_pandas=True)],
+                names=["url", "rate", "intercept", "rsquared",
+                       "error", "samples"])
     return fn
 
 
