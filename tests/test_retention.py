@@ -118,8 +118,9 @@ def test_compact_day_store_aborts_on_racing_append(spark, tmp_path,
         "url string, warc_ts timestamp, value double")
     real_rewrite = ret._rewrite_partition
 
-    def rewrite_then_race(spark_, part_dir, tmp_dir, n_out):
-        real_rewrite(spark_, part_dir, tmp_dir, n_out)
+    def rewrite_then_race(spark_, part_dir, tmp_dir, n_out,
+                          **kwargs):
+        real_rewrite(spark_, part_dir, tmp_dir, n_out, **kwargs)
         write_raw_store(racer, path, mode="append")
 
     monkeypatch.setattr(ret, "_rewrite_partition", rewrite_then_race)
