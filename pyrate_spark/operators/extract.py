@@ -22,19 +22,35 @@ from pyrate_spark.datagen import START_UNIX, YEAR_SECONDS
 VALUE_RE = r"v=(-?\d+\.?\d*)"
 
 
-def extract_series(pages: DataFrame, value_expr=None) -> DataFrame:
+def extract_series(pages: DataFrame, value_expr=None,
+                   cluster_by_url: bool = True) -> DataFrame:
     """Narrow series projection. ``value_expr`` defaults to parsing the
     leading v= token of ``text``; any column expression works (e.g.
-    ``F.length('text')`` for a size metric)."""
+    ``F.length('text')`` for a size metric).
+
+    ``cluster_by_url`` (r8, guide §2.4/§8): the extraction is the head
+    of an overwhelmingly url-keyed pipeline — tier rollups, pair
+    windows, per-url folds, grouped-map kernels — each of which would
+    otherwise shuffle the same rows by url again. Establishing
+    hash(url) clustering HERE, once, on the narrow projection lets
+    every such consumer (and the persisted cache the batch pipeline
+    holds) plan zero further exchanges: one exchange of (url, ts,
+    value, lang) replaces ~8 per-stage exchanges on the bench.
+    Streaming frames are never repartitioned (the stateful aggregation
+    manages its own partitioning); pass False for a purely columnar
+    one-shot consumer that never keys by url."""
     if value_expr is None:
         tok = F.regexp_extract("text", VALUE_RE, 1)
         value_expr = F.when(tok == "", None).otherwise(tok).cast("double")
-    return pages.select(
+    out = pages.select(
         "url",
         "warc_ts",
         value_expr.alias("value"),
         "lang",
     )
+    if cluster_by_url and not out.isStreaming:
+        out = out.repartition("url")
+    return out
 
 
 #: dotall so body text may span lines; anchored to the exact document

@@ -107,3 +107,38 @@ class TestSegmentRegressionInvariance:
         ssc, isc, rsc, sesc = linregress(ts[2][m], ys[2][m])
         assert s[2] == pytest.approx(ssc, rel=1e-12)
         assert r2[2] == pytest.approx(rsc * rsc, rel=1e-12)
+
+
+class TestSeriesClustering:
+    def test_extract_series_clusters_batch_frames(self, spark):
+        from pyrate_spark.datagen import generate_pages
+        from pyrate_spark.operators.extract import extract_series
+        s = extract_series(generate_pages(spark, n_urls=40,
+                                          epochs_per_url=6, seed=3)
+                           ).persist()
+        try:
+            s.count()
+            assert clustered_by_key(s, "url") is True
+            # and the opt-out stays a pure narrow projection
+            s2 = extract_series(generate_pages(spark, n_urls=40,
+                                               epochs_per_url=6, seed=3),
+                                cluster_by_url=False)
+            plan = s2._jdf.queryExecution().executedPlan().toString()
+            assert "REPARTITION_BY_COL" not in plan
+        finally:
+            s.unpersist()
+
+    def test_extract_series_never_repartitions_streams(self, spark,
+                                                       tmp_path):
+        from pyrate_spark.datagen import generate_pages
+        from pyrate_spark.operators.extract import extract_series
+        p = str(tmp_path / "pages")
+        generate_pages(spark, n_urls=10, epochs_per_url=4,
+                       seed=3).write.parquet(p)
+        stream = (spark.readStream
+                  .schema("url string, warc_ts timestamp, html binary, "
+                          "text string, lang string").parquet(p))
+        out = extract_series(stream)
+        assert out.isStreaming
+        plan = out._jdf.queryExecution().logical().toString()
+        assert "Repartition" not in plan
