@@ -45,6 +45,12 @@ def get_session(app_name: str = "pyrate-spark",
         # Arrow batch transfer for all pandas UDFs
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # r8: the grouped-list boundary ships one row per KEY with a
+        # list column, so row-count alone no longer bounds batch
+        # memory — cap the bytes too (Spark 4 knob; ~256 MB keeps a
+        # worker's decode buffer bounded however long the lists get)
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(256 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or (cpus or 32)))
         .config("spark.sql.session.timeZone", "UTC")

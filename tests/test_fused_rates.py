@@ -65,9 +65,11 @@ def test_fused_never_plans_more_exchanges(spark, pairs):
     assert plan.count("MapInArrow") == 1
 
     # DISTINCT exchanges (the raw count renders the cached plan's own
-    # exchanges once per union branch): the fused hybrid must add NONE
-    # beyond the input's — the cold url-aggregation and even the
-    # hot-key groupBy both reuse the cache's hash(url) clustering
+    # exchanges once per union branch): the fused hybrid may add only
+    # ONE beyond the input's — the deliberate tiny range exchange that
+    # spreads hot keys one-per-partition (_spread_hot; hash placement
+    # measured 3 O(epochs^3) keys into one partition). The cold
+    # url-aggregation reuses the cache's hash(url) clustering.
     import re
 
     def distinct_exchanges(df):
@@ -76,7 +78,7 @@ def test_fused_never_plans_more_exchanges(spark, pairs):
             r"Exchange [^\n]*\[plan_id=(\d+)\]", p)}
 
     assert len(distinct_exchanges(fused)) <= len(
-        distinct_exchanges(pairs))
+        distinct_exchanges(pairs)) + 1
 
 
 def test_fused_unclustered_input_keeps_bucketed_path(spark, pairs):
